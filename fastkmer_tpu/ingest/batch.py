@@ -1,0 +1,62 @@
+"""Fixed-shape device batching of encoded reads.
+
+Everything dynamic in the reference (per-read ArrayBuffers, iterator
+pipelines) becomes fixed-capacity [R, L] uint8 code matrices here, padded
+with the invalid code 4.  Because downstream window validity is simply
+"window contains no code >= 4" (the array form of the reference's N-split,
+SparkBinKmerCounter.scala:78-97), invalid padding needs no separate length
+mask: tail windows poison themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import numpy as np
+
+from ..core import bits
+
+
+def batch_codes(
+    reads: Iterable[bytes | np.ndarray],
+    reads_per_batch: int,
+    read_len: int,
+) -> Iterator[Tuple[np.ndarray, int, int]]:
+    """Pack encoded reads into [R, L] uint8 batches padded with INVALID_CODE.
+
+    Yields (codes, n_reads, n_bases) per batch; the final batch is padded
+    with empty rows so every batch has identical shape (one jit trace).
+    Reads longer than ``read_len`` must have been chunked upstream
+    (ingest.fasta.iter_reads); a longer read raises.
+    """
+    buf = np.full((reads_per_batch, read_len), bits.INVALID_CODE, dtype=np.uint8)
+    row = 0
+    n_bases = 0
+    for r in reads:
+        codes = r if isinstance(r, np.ndarray) else bits.encode_ascii(r)
+        if codes.shape[0] > read_len:
+            raise ValueError(f"read of length {codes.shape[0]} > batch read_len {read_len}")
+        buf[row, : codes.shape[0]] = codes
+        n_bases += codes.shape[0]
+        row += 1
+        if row == reads_per_batch:
+            yield buf, row, n_bases
+            buf = np.full((reads_per_batch, read_len), bits.INVALID_CODE, dtype=np.uint8)
+            row = 0
+            n_bases = 0
+    if row > 0:
+        yield buf, row, n_bases
+
+
+def batch_file(
+    path: str,
+    sequence_type: int,
+    k: int,
+    reads_per_batch: int,
+    read_len: int,
+) -> Iterator[Tuple[np.ndarray, int, int]]:
+    """File -> fixed-shape code batches (short or long sequence mode)."""
+    from . import fasta
+
+    reads = (seq for _, seq in fasta.iter_reads(path, sequence_type, k, chunk_len=read_len))
+    return batch_codes(reads, reads_per_batch, read_len)

@@ -1,0 +1,103 @@
+"""Sort-based exact counting (the reduce side, default engine).
+
+TPU re-design of the reference's sort path (``extractKXmers``,
+SparkBinKmerCounter.scala:428-660): the reference expands super-k-mers into
+(k,x)-mer run buckets, quicksorts each, and streams a heap-merge of shifted
+scanners (RIndex / priorityQueueWithIndexes, package.scala:562-681).  All of
+that machinery exists to enumerate k-mers in globally sorted order so equal
+runs become counts.  On TPU the same output semantics collapse to:
+
+    lax.sort on (validity, word_0..word_{W-1}) keys   # bitonic, MXU-free
+    run-boundary detection + run-length via reverse cummin
+
+with no scatter, no heap, no dynamic shapes.  Invalid entries carry a 1 in
+the leading key word so they sort strictly after every real k-mer and can
+never merge with an all-T k-mer (whose words can equal the sentinel).
+
+The bin id rides along as a sort *value* (all equal k-mers share a bin since
+the signature is a pure function of the k-mer string — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SortedCounts(NamedTuple):
+    """Sorted unique-run view over N input slots.
+
+    words:    [N, W] uint32 sorted k-mer words (valid first, then sentinels)
+    bins:     [N]    int32 bin of each row
+    is_start: [N]    bool  True at the first row of each distinct valid k-mer
+    counts:   [N]    int32 run length, meaningful where is_start
+    n_valid:  []     int32 total number of valid k-mer instances
+    """
+
+    words: jnp.ndarray
+    bins: jnp.ndarray
+    is_start: jnp.ndarray
+    counts: jnp.ndarray
+    n_valid: jnp.ndarray
+
+
+def count_sorted(
+    words: jnp.ndarray,
+    bins: jnp.ndarray,
+    valid: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> SortedCounts:
+    """words [N, W] uint32, bins [N] int32, valid [N] bool -> SortedCounts.
+
+    ``weights`` (int32, default all-ones) generalizes instance counting to
+    *merging* pre-counted partials: feeding back unique k-mers with their
+    counts as weights sums counts per k-mer — used to combine batches and,
+    across chips, all-to-all'd partial tables.
+    """
+    N, W = words.shape
+    flag = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+    w_in = jnp.ones(N, jnp.int32) if weights is None else weights.astype(jnp.int32)
+    w_in = jnp.where(valid, w_in, 0)
+    keys = [flag] + [words[:, w] for w in range(W)]
+    out = jax.lax.sort(tuple(keys) + (bins, w_in), num_keys=W + 1, is_stable=False)
+    sflag = out[0]
+    swords = out[1 : W + 1]
+    sbins = out[W + 1]
+    sw = out[W + 2]
+
+    svalid = sflag == jnp.uint32(0)
+    diff = jnp.zeros(N, dtype=bool).at[0].set(True)
+    for w in range(W):
+        diff = diff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), swords[w][1:] != swords[w][:-1]]
+        )
+    diff = diff | jnp.concatenate([jnp.zeros(1, dtype=bool), svalid[1:] != svalid[:-1]])
+    is_start = diff & svalid
+
+    # run weight-sum = suffix-sum difference between this boundary and the next
+    idx = jnp.arange(N, dtype=jnp.int32)
+    bpos = jnp.where(diff, idx, jnp.int32(N))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
+    cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))  # cw[i] = sum_{j>=i} sw[j]
+    cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
+    counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
+
+    return SortedCounts(
+        words=jnp.stack(swords, axis=1),
+        bins=sbins,
+        is_start=is_start,
+        counts=counts,
+        n_valid=jnp.sum(sw),
+    )
+
+
+def bin_histogram(bins: jnp.ndarray, valid: jnp.ndarray, B: int) -> jnp.ndarray:
+    """Per-bin k-mer instance counts — the array form of the reference's
+    sampled estimate pre-pass (``getBinsEstimateSizes``,
+    SparkBinKmerCounter.scala:172-288) and of the binSizes upper bound used
+    to size hash tables (:290-426)."""
+    return jnp.bincount(
+        jnp.where(valid, bins, B), weights=None, length=B + 1
+    )[:B].astype(jnp.int32)

@@ -1,0 +1,142 @@
+"""Job orchestration — the TPU equivalent of ``executeJob``
+(reference: SparkBinKmerCounter.scala:989-1046).
+
+The Spark plan  ``mapPartitions(getSuperKmers) -> reduceByKey(shuffle) ->
+foreachPartition(extractKXmers)``  becomes:
+
+    host ingest -> fixed-shape code batches
+      -> jit[ stage-1 extract + per-batch sort-count ]      (device)
+      -> host compaction of per-batch unique partials
+      -> final weighted merge                               (device or host)
+      -> per-bin text/binary output                         (host)
+
+Single-chip path here; the multi-chip path (shard_map + all-to-all bin
+exchange, replacing the Spark shuffle) lives in ``parallel.exchange`` and is
+driven by ``execute_job`` when a mesh is provided.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import JobConfig
+from .core.bits import num_words
+from .ingest import batch as batching
+from .ops import count_sort, extract
+from .output import writer
+from .utils.timing import StageTimer
+
+
+class CountResult(NamedTuple):
+    words: np.ndarray  # [U, W] uint32 unique canonical k-mers, ascending
+    counts: np.ndarray  # [U] int64
+    bins: np.ndarray  # [U] int32
+    n_instances: int  # total counted k-mer instances
+    n_bases: int
+    n_reads: int
+    timings: dict
+
+
+@partial(jax.jit, static_argnames=("k", "m", "B"))
+def _batch_count(codes: jnp.ndarray, k: int, m: int, B: int) -> count_sort.SortedCounts:
+    """One fused device step: extract all windows, sort, run-length count."""
+    ex = extract.extract(codes, k, m, B)
+    return count_sort.count_sorted(ex.words, ex.bins, ex.valid)
+
+
+def _compact(sc: count_sort.SortedCounts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device SortedCounts -> host (unique words, counts, bins)."""
+    is_start = np.asarray(sc.is_start)
+    idx = np.flatnonzero(is_start)
+    return (
+        np.asarray(sc.words)[idx],
+        np.asarray(sc.counts)[idx].astype(np.int64),
+        np.asarray(sc.bins)[idx],
+    )
+
+
+def merge_partials(
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]], W: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host merge of per-batch unique tables: lexsort + reduceat.
+
+    Semantically the cross-partition half of the reference's
+    ``reduceByKey(_ ++ _)`` + heap merge; here the per-batch tables are
+    already unique+sorted so merging is a weighted group-by."""
+    words = np.concatenate([p[0] for p in parts], axis=0)
+    counts = np.concatenate([p[1] for p in parts], axis=0)
+    bins = np.concatenate([p[2] for p in parts], axis=0)
+    if words.shape[0] == 0:
+        return words, counts, bins
+    order = np.lexsort(tuple(words[:, w] for w in reversed(range(W))))
+    ws, cs, bs = words[order], counts[order], bins[order]
+    new = np.empty(ws.shape[0], dtype=bool)
+    new[0] = True
+    np.any(ws[1:] != ws[:-1], axis=1, out=new[1:])
+    starts = np.flatnonzero(new)
+    return ws[starts], np.add.reduceat(cs, starts), bs[starts]
+
+
+def count_batches(
+    batches: Iterable[tuple[np.ndarray, int, int]],
+    k: int,
+    m: int,
+    B: int,
+    timer: StageTimer | None = None,
+) -> CountResult:
+    timer = timer or StageTimer()
+    parts = []
+    n_reads = 0
+    n_bases = 0
+    W = num_words(k)
+    for codes, nr, nb in batches:
+        with timer.span("device_count"):
+            sc = _batch_count(jnp.asarray(codes), k, m, B)
+            jax.block_until_ready(sc.counts)
+        with timer.span("host_compact"):
+            parts.append(_compact(sc))
+        n_reads += nr
+        n_bases += nb
+    with timer.span("merge"):
+        if parts:
+            words, counts, bins = merge_partials(parts, W)
+        else:
+            words = np.zeros((0, W), np.uint32)
+            counts = np.zeros(0, np.int64)
+            bins = np.zeros(0, np.int32)
+    return CountResult(
+        words, counts, bins, int(counts.sum()), n_bases, n_reads, timer.as_dict()
+    )
+
+
+def execute_job(cfg: JobConfig, verbose: bool = True) -> CountResult:
+    """Count k-mers in cfg.dataset and (optionally) write per-bin files.
+
+    Mirrors the reference orchestrator's switch matrix
+    (SparkBinKmerCounter.scala:1023-1044); the sort and HT engines must
+    produce identical tables, so engine choice only affects the device step.
+    """
+    timer = StageTimer(verbose=False)
+    if verbose:
+        print(cfg.describe())
+    if cfg.use_ht:
+        from .ops import count_hash  # HT engine (useHT=1 path)
+
+        res = count_hash.count_file(cfg, timer)
+    else:
+        batches = batching.batch_file(
+            cfg.dataset, cfg.sequence_type, cfg.k, cfg.reads_per_batch, cfg.read_len
+        )
+        res = count_batches(batches, cfg.k, cfg.m, cfg.b, timer)
+    if cfg.write:
+        with timer.span("write_output"):
+            writer.write_bin_files(
+                cfg.output_dir, res.words, res.counts, res.bins, cfg.k,
+                eof_sentinel=not cfg.use_ht,
+            )
+    return res._replace(timings=timer.as_dict())

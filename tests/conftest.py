@@ -8,7 +8,9 @@ cluster — Spark local[4] threads stand in for executors
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness presets JAX_PLATFORMS=axon (real TPU via tunnel); tests must
+# override it unconditionally or every tiny op crosses the network.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

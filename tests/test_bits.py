@@ -122,6 +122,7 @@ class TestDeviceParity:
     """jnp versions bit-exact vs numpy versions."""
 
     def test_rc_allowed_norm_hash(self):
+        import jax
         import jax.numpy as jnp
 
         from fastkmer_tpu.core import jbits
@@ -130,12 +131,16 @@ class TestDeviceParity:
         for m in (4, 10):
             v = rng.integers(0, 4**m, size=1000, dtype=np.uint32)
             jv = jnp.asarray(v)
-            np.testing.assert_array_equal(np.asarray(jbits.rc_mmers(jv, m)), bits.rc_mmers(v, m))
-            np.testing.assert_array_equal(
-                np.asarray(jbits.allowed_mask(jv, m)), bits.allowed_mask(v, m)
+            f = jax.jit(
+                lambda x, m=m: (
+                    jbits.rc_mmers(x, m),
+                    jbits.allowed_mask(x, m),
+                    jbits.norm_mmers(x, m),
+                    jbits.hash_to_bucket(x, 2048),
+                )
             )
-            norm_tab = bits.fill_norm(m)
-            np.testing.assert_array_equal(np.asarray(jbits.norm_mmers(jv, m)), norm_tab[v])
-            np.testing.assert_array_equal(
-                np.asarray(jbits.hash_to_bucket(jv, 2048)), bits.hash_to_bucket(v, 2048)
-            )
+            rc, allowed, norm, hsh = (np.asarray(a) for a in f(jv))
+            np.testing.assert_array_equal(rc, bits.rc_mmers(v, m))
+            np.testing.assert_array_equal(allowed, bits.allowed_mask(v, m))
+            np.testing.assert_array_equal(norm, bits.fill_norm(m)[v])
+            np.testing.assert_array_equal(hsh, bits.hash_to_bucket(v, 2048))

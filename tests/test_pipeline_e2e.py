@@ -1,0 +1,114 @@
+"""End-to-end golden tests: full pipeline on small FASTA files diffed
+against the naive dict-based oracle — the test the reference never had but
+whose workflow it approximated by diffing output dirs between configurations
+(SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from fastkmer_tpu.config import JobConfig
+from fastkmer_tpu.core import bits
+from fastkmer_tpu.output import writer
+
+from . import oracles
+
+
+def write_fasta(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">read{i}\n")
+            # multi-line records to exercise newline stripping
+            for j in range(0, len(r), 37):
+                f.write(r[j : j + 37] + "\n")
+
+
+@pytest.fixture
+def small_reads():
+    rng = np.random.default_rng(7)
+    reads = []
+    for _ in range(40):
+        length = int(rng.integers(20, 200))
+        chars = rng.choice(list("ACGT"), size=length)
+        mask = rng.random(length) < 0.02
+        chars[mask] = "N"
+        reads.append("".join(chars))
+    return reads
+
+
+def result_as_dict(res, k):
+    kmers = bits.decode_words_batch(res.words, k)
+    return {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+
+
+def test_e2e_short_mode(tmp_path, small_reads):
+    from fastkmer_tpu import pipeline
+
+    fa = str(tmp_path / "reads.fa")
+    write_fasta(fa, small_reads)
+    k, m = 28, 10
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=k, m=m, max_b=64,
+        reads_per_batch=16, read_len=256,
+    )
+    res = pipeline.execute_job(cfg, verbose=False)
+
+    expect = oracles.count_reads(small_reads, k)
+    got = result_as_dict(res, k)
+    assert got == dict(expect)
+    assert res.n_instances == sum(expect.values())
+
+    # per-bin files match the binned oracle exactly (same signature hash)
+    on_disk = writer.read_output_dir(cfg.output_dir)
+    expect_binned = oracles.count_reads_binned(small_reads, k, m, cfg.b)
+    assert {b: dict(c) for b, c in expect_binned.items()} == on_disk
+
+    # files are sorted with EOF sentinel
+    import os
+
+    some_bin = sorted(on_disk)[0]
+    raw = open(os.path.join(cfg.output_dir, f"bin{some_bin}"), "rb").read()
+    assert raw.endswith(b"EOF")
+    lines = [l.split(b"\t")[0] for l in raw[:-3].splitlines()]
+    assert lines == sorted(lines)
+
+
+def test_e2e_long_mode_chunking_lossless(tmp_path):
+    """sequence_type=1: a genome longer than read_len is chunked with k-1
+    overlap; counts must equal the unchunked oracle (the FASTdoop
+    PartialSequence overlap guarantee, SparkBinKmerCounter.scala:993)."""
+    from fastkmer_tpu import pipeline
+
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), size=5000))
+    # plant an N island to exercise splits across chunk boundaries
+    genome = genome[:1500] + "NNN" + genome[1503:]
+    fa = str(tmp_path / "genome.fa")
+    write_fasta(fa, [genome])
+    k, m = 28, 10
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=k, m=m, max_b=64,
+        sequence_type=1, reads_per_batch=8, read_len=512, write=False,
+    )
+    res = pipeline.execute_job(cfg, verbose=False)
+    expect = oracles.count_reads([genome], k)
+    assert result_as_dict(res, k) == dict(expect)
+
+
+def test_e2e_k_multiple_of_16_all_T_vs_sentinel(tmp_path):
+    """k=32 (words exactly fill, no zero padding): the all-T k-mer's words
+    equal the invalid-padding sentinel pattern; the validity sort key must
+    keep them apart."""
+    from fastkmer_tpu import pipeline
+
+    reads = ["T" * 40, "T" * 33, "ACGT" * 10]
+    fa = str(tmp_path / "t.fa")
+    write_fasta(fa, reads)
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=32, m=6, max_b=64,
+        reads_per_batch=4, read_len=64, write=False,
+    )
+    res = pipeline.execute_job(cfg, verbose=False)
+    expect = oracles.count_reads(reads, 32)
+    assert result_as_dict(res, 32) == dict(expect)
+    # all-T canonical is all-A (RC): check explicitly
+    assert "A" * 32 in result_as_dict(res, 32)

@@ -1,0 +1,120 @@
+"""Hash-based exact counting — the ``useHT=1`` engine.
+
+The reference's HT path (``extractKXmersHT``,
+SparkBinKmerCounter.scala:664-739) replaces sort+merge with a fastutil
+``Object2IntOpenHashMap`` sized by the extraction-time upper bound.  A
+probing hash table is the wrong shape for a TPU (no atomics, vector-hostile
+random access), so the TPU re-interpretation keeps the *hash-based* idea —
+compare 64-bit fingerprints instead of full k-mer keys — in a sort-friendly
+form:
+
+    sort by (validity, fp_hi, fp_lo)        # 3 keys regardless of W
+    run-length count over equal fingerprints
+    verify: every row's words == its run head's words (gather + compare)
+
+The verification makes exactness unconditional: a 64-bit fingerprint
+collision (prob ~ N^2 / 2^64) raises ``FingerprintCollision`` and the
+caller re-runs the batch with the sort engine.  For k <= 32 the fingerprint
+is the k-mer itself (W <= 2 words), so the engine degenerates to the sort
+path with an extra validity key; its advantage appears for k > 32, where it
+sorts 2 key words instead of W.
+
+Both engines must produce identical count tables — the cross-engine
+equality the reference relied on for validation (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .count_sort import SortedCounts
+
+_U = jnp.uint32
+
+
+class FingerprintCollision(RuntimeError):
+    """Two distinct k-mers shared a 64-bit fingerprint; re-run with the
+    sort engine (astronomically rare)."""
+
+
+def _mix32(h: jnp.ndarray) -> jnp.ndarray:
+    # murmur3 finalizer
+    h = h ^ (h >> _U(16))
+    h = h * _U(0x85EBCA6B)
+    h = h ^ (h >> _U(13))
+    h = h * _U(0xC2B2AE35)
+    return h ^ (h >> _U(16))
+
+
+def fingerprint(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, W] uint32 -> (hi, lo) 64-bit fingerprint as two uint32 lanes."""
+    N, W = words.shape
+    if W == 1:
+        return jnp.zeros(N, _U), words[:, 0]
+    if W == 2:
+        return words[:, 0], words[:, 1]  # k-mer IS the fingerprint
+    hi = jnp.full(N, 0x9E3779B9, _U)
+    lo = jnp.full(N, 0x85EBCA6B, _U)
+    for w in range(W):
+        x = words[:, w]
+        hi = _mix32(hi ^ (x * _U(0xCC9E2D51)))
+        lo = _mix32(lo + jnp.uint32(w + 1) * _U(0x27D4EB2F) ^ x)
+    return hi, lo
+
+
+def count_hashed(
+    words: jnp.ndarray,
+    bins: jnp.ndarray,
+    valid: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+):
+    """Like count_sort.count_sorted but keyed on 64-bit fingerprints.
+
+    Returns (SortedCounts, collision_detected: bool scalar).  words in the
+    result are run-head words (== each row's words when no collision).
+    Output rows are in fingerprint order, NOT k-mer order — callers that
+    need k-mer order (the writer) sort on host.
+    """
+    N, W = words.shape
+    hi, lo = fingerprint(words)
+    flag = jnp.where(valid, _U(0), _U(1))
+    w_in = jnp.ones(N, jnp.int32) if weights is None else weights.astype(jnp.int32)
+    w_in = jnp.where(valid, w_in, 0)
+    ops = (flag, hi, lo) + tuple(words[:, w] for w in range(W)) + (bins, w_in)
+    out = jax.lax.sort(ops, num_keys=3, is_stable=False)
+    sflag, shi, slo = out[0], out[1], out[2]
+    swords = out[3 : 3 + W]
+    sbins = out[3 + W]
+    sw = out[4 + W]
+    svalid = sflag == _U(0)
+
+    first = jnp.ones(1, dtype=bool)
+    diff = (
+        jnp.concatenate([first, shi[1:] != shi[:-1]])
+        | jnp.concatenate([first, slo[1:] != slo[:-1]])
+        | jnp.concatenate([jnp.zeros(1, bool), svalid[1:] != svalid[:-1]])
+    )
+    is_start = diff & svalid
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    head = jax.lax.cummax(jnp.where(diff, idx, 0))  # index of own run head
+    mismatch = jnp.zeros(N, dtype=bool)
+    for w in range(W):
+        mismatch = mismatch | (swords[w] != swords[w][head])
+    collision = jnp.any(mismatch & svalid)
+
+    bpos = jnp.where(diff, idx, jnp.int32(N))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
+    cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))
+    cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
+    counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
+
+    sc = SortedCounts(
+        words=jnp.stack(swords, axis=1),
+        bins=sbins,
+        is_start=is_start,
+        counts=counts,
+        n_valid=jnp.sum(sw),
+    )
+    return sc, collision

@@ -48,6 +48,7 @@ def count_sorted(
     bins: jnp.ndarray,
     valid: jnp.ndarray,
     weights: jnp.ndarray | None = None,
+    sentinel_safe: bool = False,
 ) -> SortedCounts:
     """words [N, W] uint32, bins [N] int32, valid [N] bool -> SortedCounts.
 
@@ -55,19 +56,33 @@ def count_sorted(
     *merging* pre-counted partials: feeding back unique k-mers with their
     counts as weights sums counts per k-mer — used to combine batches and,
     across chips, all-to-all'd partial tables.
+
+    ``sentinel_safe=True`` (valid when k % 16 != 0, i.e. the last word has
+    zero pad bits) drops the leading validity key: invalid rows are rewritten
+    to all-ones words, which no real k-mer can equal because its last word
+    always has low zero bits.  One fewer sort key = one fewer permuted
+    column per bitonic pass.
     """
     N, W = words.shape
-    flag = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
     w_in = jnp.ones(N, jnp.int32) if weights is None else weights.astype(jnp.int32)
     w_in = jnp.where(valid, w_in, 0)
-    keys = [flag] + [words[:, w] for w in range(W)]
-    out = jax.lax.sort(tuple(keys) + (bins, w_in), num_keys=W + 1, is_stable=False)
-    sflag = out[0]
-    swords = out[1 : W + 1]
-    sbins = out[W + 1]
-    sw = out[W + 2]
-
-    svalid = sflag == jnp.uint32(0)
+    if sentinel_safe:
+        ones = jnp.uint32(0xFFFFFFFF)
+        wcols = [jnp.where(valid, words[:, w], ones) for w in range(W)]
+        out = jax.lax.sort(tuple(wcols) + (bins, w_in), num_keys=W, is_stable=False)
+        swords = out[:W]
+        sbins = out[W]
+        sw = out[W + 1]
+        svalid = swords[W - 1] != jnp.uint32(0xFFFFFFFF)
+    else:
+        flag = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+        keys = [flag] + [words[:, w] for w in range(W)]
+        out = jax.lax.sort(tuple(keys) + (bins, w_in), num_keys=W + 1, is_stable=False)
+        sflag = out[0]
+        swords = out[1 : W + 1]
+        sbins = out[W + 1]
+        sw = out[W + 2]
+        svalid = sflag == jnp.uint32(0)
     diff = jnp.zeros(N, dtype=bool).at[0].set(True)
     for w in range(W):
         diff = diff | jnp.concatenate(
@@ -91,6 +106,12 @@ def count_sorted(
         counts=counts,
         n_valid=jnp.sum(sw),
     )
+
+
+def sentinel_safe_for(k: int) -> bool:
+    """True when the last packed word has zero pad bits (k % 16 != 0), so
+    the all-ones sentinel cannot collide with any real k-mer."""
+    return k % 16 != 0
 
 
 def bin_histogram(bins: jnp.ndarray, valid: jnp.ndarray, B: int) -> jnp.ndarray:

@@ -118,7 +118,9 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
         rw = jax.lax.all_to_all(bw, AXIS, split_axis=0, concat_axis=0, tiled=True)
         rb = jax.lax.all_to_all(bb, AXIS, split_axis=0, concat_axis=0, tiled=True)
         rok = jax.lax.all_to_all(bok, AXIS, split_axis=0, concat_axis=0, tiled=True)
-        sc = count_sort.count_sorted(rw, rb, rok == jnp.uint32(1))
+        sc = count_sort.count_sorted(
+            rw, rb, rok == jnp.uint32(1), sentinel_safe=count_sort.sentinel_safe_for(k)
+        )
         dropped = jax.lax.psum(ndrop, AXIS)
         return ShardCounts(
             words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],

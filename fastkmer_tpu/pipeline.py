@@ -46,7 +46,18 @@ class CountResult(NamedTuple):
 def _batch_count(codes: jnp.ndarray, k: int, m: int, B: int) -> count_sort.SortedCounts:
     """One fused device step: extract all windows, sort, run-length count."""
     ex = extract.extract(codes, k, m, B)
-    return count_sort.count_sorted(ex.words, ex.bins, ex.valid)
+    return count_sort.count_sorted(
+        ex.words, ex.bins, ex.valid, sentinel_safe=count_sort.sentinel_safe_for(k)
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "m", "B"))
+def _batch_count_ht(codes: jnp.ndarray, k: int, m: int, B: int):
+    """HT-engine device step (useHT=1): fingerprint-keyed counting."""
+    from .ops import count_hash
+
+    ex = extract.extract(codes, k, m, B)
+    return count_hash.count_hashed(ex.words, ex.bins, ex.valid)
 
 
 def _compact(sc: count_sort.SortedCounts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -88,6 +99,7 @@ def count_batches(
     m: int,
     B: int,
     timer: StageTimer | None = None,
+    engine: str = "sort",
 ) -> CountResult:
     timer = timer or StageTimer()
     parts = []
@@ -96,7 +108,16 @@ def count_batches(
     W = num_words(k)
     for codes, nr, nb in batches:
         with timer.span("device_count"):
-            sc = _batch_count(jnp.asarray(codes), k, m, B)
+            if engine == "hash":
+                sc, collision = _batch_count_ht(jnp.asarray(codes), k, m, B)
+                if bool(collision):
+                    from .ops.count_hash import FingerprintCollision
+
+                    raise FingerprintCollision(
+                        "64-bit fingerprint collision; re-run with the sort engine"
+                    )
+            else:
+                sc = _batch_count(jnp.asarray(codes), k, m, B)
             jax.block_until_ready(sc.counts)
         with timer.span("host_compact"):
             parts.append(_compact(sc))
@@ -124,15 +145,11 @@ def execute_job(cfg: JobConfig, verbose: bool = True) -> CountResult:
     timer = StageTimer(verbose=False)
     if verbose:
         print(cfg.describe())
-    if cfg.use_ht:
-        from .ops import count_hash  # HT engine (useHT=1 path)
-
-        res = count_hash.count_file(cfg, timer)
-    else:
-        batches = batching.batch_file(
-            cfg.dataset, cfg.sequence_type, cfg.k, cfg.reads_per_batch, cfg.read_len
-        )
-        res = count_batches(batches, cfg.k, cfg.m, cfg.b, timer)
+    batches = batching.batch_file(
+        cfg.dataset, cfg.sequence_type, cfg.k, cfg.reads_per_batch, cfg.read_len
+    )
+    engine = "hash" if cfg.use_ht else "sort"
+    res = count_batches(batches, cfg.k, cfg.m, cfg.b, timer, engine=engine)
     if cfg.write:
         with timer.span("write_output"):
             writer.write_bin_files(

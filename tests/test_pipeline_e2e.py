@@ -94,6 +94,27 @@ def test_e2e_long_mode_chunking_lossless(tmp_path):
     assert result_as_dict(res, k) == dict(expect)
 
 
+@pytest.mark.parametrize("k,m", [(28, 10), (55, 8)])
+def test_cross_engine_equality(tmp_path, small_reads, k, m):
+    """Sort and HT engines must produce identical tables — the validation
+    workflow the reference used across useHT configs (SURVEY.md §4).
+    k=55 exercises the fingerprint (W=4) path where HT differs for real."""
+    from fastkmer_tpu import pipeline
+
+    fa = str(tmp_path / "reads.fa")
+    write_fasta(fa, small_reads)
+    base = dict(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=k, m=m, max_b=64,
+        reads_per_batch=16, read_len=256, write=False,
+    )
+    res_sort = pipeline.execute_job(JobConfig(**base), verbose=False)
+    res_ht = pipeline.execute_job(JobConfig(**base, use_ht=True), verbose=False)
+    assert result_as_dict(res_sort, k) == result_as_dict(res_ht, k)
+    assert res_sort.n_instances == res_ht.n_instances
+    expect = oracles.count_reads(small_reads, k)
+    assert result_as_dict(res_sort, k) == dict(expect)
+
+
 def test_e2e_k_multiple_of_16_all_T_vs_sentinel(tmp_path):
     """k=32 (words exactly fill, no zero padding): the all-T k-mer's words
     equal the invalid-padding sentinel pattern; the validity sort key must

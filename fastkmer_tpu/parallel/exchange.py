@@ -57,19 +57,19 @@ class ShardCounts(NamedTuple):
     dropped: jnp.ndarray
 
 
-def _route_local(ex: extract.Extracted, owner_tab: jnp.ndarray, n: int, cap: int):
-    """Group local entries by destination chip into an [n*cap, W+2] buffer.
+def route_by_owner(owner, valid, cols: tuple, n: int, cap: int):
+    """Group local rows by destination chip into [n*cap] buffers.
 
-    Returns (payload words [n*cap, W], bins [n*cap], ok [n*cap], n_dropped).
+    ``cols`` is a tuple of 1-D arrays riding along; rows where ``valid`` is
+    False are discarded.  Returns (routed cols tuple, ok uint32 [n*cap],
+    n_dropped scalar).  Sort-based grouping (no data-dependent shapes): one
+    1-key sort by owner, then a rank-computed scatter to strided slots.
     """
-    N, W = ex.words.shape
-    owner = owner_tab[ex.bins]  # [N] int32
-    sort_key = jnp.where(ex.valid, owner, n).astype(jnp.int32)
-    cols = tuple(ex.words[:, w] for w in range(W)) + (ex.bins,)
-    sorted_ = jax.lax.sort((sort_key,) + cols, num_keys=1, is_stable=False)
+    N = owner.shape[0]
+    sort_key = jnp.where(valid, owner, n).astype(jnp.int32)
+    sorted_ = jax.lax.sort((sort_key,) + tuple(cols), num_keys=1, is_stable=False)
     skey = sorted_[0]
-    swords = sorted_[1 : W + 1]
-    sbins = sorted_[W + 1]
+    scols = sorted_[1:]
 
     hist = jnp.bincount(skey, length=n + 1)[:n].astype(jnp.int32)
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hist)[:-1]])
@@ -79,14 +79,20 @@ def _route_local(ex: extract.Extracted, owner_tab: jnp.ndarray, n: int, cap: int
     ok = in_range & (rank < cap)
     slot = jnp.where(ok, jnp.clip(skey, 0, n - 1) * cap + rank, n * cap)  # overflow -> trash row
 
-    buf_words = jnp.zeros((n * cap + 1, W), jnp.uint32)
-    buf_words = buf_words.at[slot].set(jnp.stack(swords, axis=1), mode="drop")
-    buf_bins = jnp.zeros(n * cap + 1, jnp.int32).at[slot].set(sbins, mode="drop")
-    buf_ok = jnp.zeros(n * cap + 1, jnp.uint32).at[slot].set(
-        jnp.where(ok, jnp.uint32(1), jnp.uint32(0)), mode="drop"
+    routed = tuple(
+        jnp.zeros(n * cap + 1, c.dtype).at[slot].set(c, mode="drop")[:-1] for c in scols
+    )
+    buf_ok = (
+        jnp.zeros(n * cap + 1, jnp.uint32)
+        .at[slot]
+        .set(jnp.where(ok, jnp.uint32(1), jnp.uint32(0)), mode="drop")[:-1]
     )
     n_dropped = jnp.sum((in_range & ~ok).astype(jnp.int32))
-    return buf_words[:-1], buf_bins[:-1], buf_ok[:-1], n_dropped  # ok as uint32 (collective-safe)
+    return routed, buf_ok, n_dropped
+
+
+def _all_to_all(x):
+    return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0, tiled=True)
 
 
 def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_map: np.ndarray):
@@ -113,11 +119,15 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
     )
     def step(codes: jnp.ndarray, owner_tab: jnp.ndarray) -> ShardCounts:
         ex = extract.extract(codes, k, m, B)
-        bw, bb, bok, ndrop = _route_local(ex, owner_tab, n, cap)
+        W = ex.words.shape[1]
+        owner = owner_tab[ex.bins]
+        cols = tuple(ex.words[:, w] for w in range(W)) + (ex.bins,)
+        routed, bok, ndrop = route_by_owner(owner, ex.valid, cols, n, cap)
         # exchange: row block [d*cap:(d+1)*cap) goes to chip d
-        rw = jax.lax.all_to_all(bw, AXIS, split_axis=0, concat_axis=0, tiled=True)
-        rb = jax.lax.all_to_all(bb, AXIS, split_axis=0, concat_axis=0, tiled=True)
-        rok = jax.lax.all_to_all(bok, AXIS, split_axis=0, concat_axis=0, tiled=True)
+        recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
+        rw = jnp.stack(recv[:W], axis=1)
+        rb = recv[W]
+        rok = recv[W + 1]
         sc = count_sort.count_sorted(
             rw, rb, rok == jnp.uint32(1), sentinel_safe=count_sort.sentinel_safe_for(k)
         )
@@ -129,6 +139,76 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
 
     jitted = jax.jit(step)
     return lambda codes: jitted(codes, owner_arr)
+
+
+def build_distributed_count_smer(
+    mesh: Mesh, k: int, m: int, B: int, cap: int, smax: int, owner_map: np.ndarray
+):
+    """Super-k-mer-transport variant of build_distributed_count.
+
+    Shuffles fixed-width super-k-mer records (smax packed bases + run length
+    + bin: the reference's getSuperKmers payload, SparkBinKmerCounter.scala:34-169)
+    instead of individual k-mers, then expands and counts on the owner chip
+    — cutting exchange bytes by roughly the mean run length at the price of
+    expansion padding in the owner-side sort.  ``cap`` counts super-k-mer
+    records per (src, dst) pair.
+    """
+    from ..ops import superkmer
+
+    n = mesh.shape[AXIS]
+    owner_arr = np.asarray(owner_map, dtype=np.int32)
+    PW = superkmer.payload_words(smax)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P()),
+        out_specs=ShardCounts(
+            words=P(AXIS), bins=P(AXIS), is_start=P(AXIS), counts=P(AXIS),
+            n_valid=P(AXIS), dropped=P(),
+        ),
+    )
+    def step(codes: jnp.ndarray, owner_tab: jnp.ndarray) -> ShardCounts:
+        sk, _ex = superkmer.group(codes, k, m, B, smax)
+        owner = owner_tab[sk.bins]
+        cols = tuple(sk.payload[:, w] for w in range(PW)) + (sk.n_kmers, sk.bins)
+        routed, bok, ndrop = route_by_owner(owner, sk.is_start, cols, n, cap)
+        recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
+        rpay = jnp.stack(recv[:PW], axis=1)  # [n*cap, PW]
+        rnk = recv[PW]
+        rbins = recv[PW + 1]
+        rok = recv[PW + 2] == jnp.uint32(1)
+        nk = jnp.where(rok, rnk, 0)
+        kwords, kvalid, kbins = superkmer.expand(rpay, nk, rbins, k, smax)
+        S, C, W = kwords.shape
+        sc = count_sort.count_sorted(
+            kwords.reshape(S * C, W),
+            kbins.reshape(S * C),
+            kvalid.reshape(S * C),
+            sentinel_safe=count_sort.sentinel_safe_for(k),
+        )
+        dropped = jax.lax.psum(ndrop, AXIS)
+        return ShardCounts(
+            words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],
+            counts=sc.counts[None], n_valid=sc.n_valid[None], dropped=dropped,
+        )
+
+    jitted = jax.jit(step)
+    return lambda codes: jitted(codes, owner_arr)
+
+
+def exchange_bytes_per_step(n: int, cap: int, k: int, smax: int | None = None) -> int:
+    """Bytes crossing the interconnect per chip per step (shuffle-bytes
+    accounting, a headline BASELINE.md metric).  Per-k-mer transport moves
+    W+2 uint32 lanes; super-k-mer transport moves smax/16+3 lanes."""
+    from ..core.bits import num_words
+    from ..ops import superkmer
+
+    if smax is None:
+        lanes = num_words(k) + 2  # words + bin + ok
+    else:
+        lanes = superkmer.payload_words(smax) + 3  # payload + n_kmers + bin + ok
+    return n * cap * lanes * 4
 
 
 def estimate_bin_sizes(mesh: Mesh, k: int, m: int, B: int):

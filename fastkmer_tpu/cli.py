@@ -1,0 +1,119 @@
+"""Command-line drivers.
+
+``fastkmer_tpu.cli`` accepts the reference's 13 positional arguments in the
+same order (TestKmerCounter.main, reference:
+src/main/scala/skc/test/TestKmerCounter.scala:34-47):
+
+    k m x B useHT sequenceType input output prefix write enableKryo
+    useCustomPartitioner [numPartitionTasks]
+
+plus optional named flags for TPU-specific knobs.  ``--multiseq`` switches
+to the multisequence driver (TestMultisequenceKmerCounter.main,
+multisequence/TestMultisequenceKmerCounter.scala:12-107, same positionals).
+
+The reference's local/cluster split (LocalTestKmerCounter vs
+TestKmerCounter) maps to ``--platform cpu`` (host simulation) vs the
+default TPU platform.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fastkmer_tpu",
+        description="TPU-native exact k-mer counting (fastkmer-compatible CLI)",
+    )
+    p.add_argument("k", type=int)
+    p.add_argument("m", type=int)
+    p.add_argument("x", type=int)
+    p.add_argument("B", type=int, help="max_b: bins = min(4^m, B)")
+    p.add_argument("useHT", type=int, choices=(0, 1))
+    p.add_argument("sequenceType", type=int, choices=(0, 1))
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("prefix")
+    p.add_argument("write", type=int, choices=(0, 1))
+    p.add_argument("enableKryo", type=int, choices=(0, 1),
+                   help="accepted for CLI parity; no JVM serialization exists here")
+    p.add_argument("useCustomPartitioner", type=int, choices=(0, 1))
+    p.add_argument("numPartitionTasks", type=int, nargs="?", default=0)
+    p.add_argument("--multiseq", action="store_true", help="multisequence mode with distances")
+    p.add_argument("--distance-measure", default="multisequence.SquaredEuclidean")
+    p.add_argument("--platform", choices=("tpu", "cpu"), default="tpu",
+                   help="cpu = local-mode simulation (the LocalTestKmerCounter analogue)")
+    p.add_argument("--reads-per-batch", type=int, default=512)
+    p.add_argument("--read-len", type=int, default=4096)
+    p.add_argument("--stats-json", default=None, help="write run summary JSON here")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    common = dict(
+        dataset=args.input,
+        output_directory=args.output,
+        k=args.k,
+        m=args.m,
+        x=args.x,
+        max_b=args.B,
+        sequence_type=args.sequenceType,
+        write=bool(args.write),
+        use_kryo_serializer=bool(args.enableKryo),
+        use_custom_partitioner=bool(args.useCustomPartitioner),
+        num_partition_tasks=args.numPartitionTasks,
+        prefix=args.prefix,
+        reads_per_batch=args.reads_per_batch,
+        read_len=args.read_len,
+    )
+
+    if args.multiseq:
+        from .multiseq.pipeline import MultiseqConfig, execute_multiseq_job
+
+        cfg = MultiseqConfig(**common, distance_measure=args.distance_measure)
+        res = execute_multiseq_job(cfg)
+        summary = {
+            "mode": "multiseq",
+            "n_instances": res.n_instances,
+            "n_unique_kmer_seq": int(res.words.shape[0]),
+            "sequences": res.sequence_names,
+            "n_distance_pairs": len(res.distances),
+            "output_dir": cfg.output_dir if cfg.write else None,
+            "timings": res.timings,
+        }
+    else:
+        from .config import JobConfig
+        from .pipeline import execute_job
+
+        cfg = JobConfig(**common, use_ht=bool(args.useHT))
+        res = execute_job(cfg)
+        summary = {
+            "mode": "count",
+            "engine": "hash" if cfg.use_ht else "sort",
+            "n_instances": res.n_instances,
+            "n_unique": int(res.words.shape[0]),
+            "n_reads": res.n_reads,
+            "n_bases": res.n_bases,
+            "output_dir": cfg.output_dir if cfg.write else None,
+            "timings": res.timings,
+        }
+
+    print(json.dumps(summary, indent=2))
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

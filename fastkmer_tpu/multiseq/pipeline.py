@@ -1,0 +1,246 @@
+"""Multisequence k-mer counting with pairwise distances (the L5 extension).
+
+Re-design of ``SparkMultiSequenceKmerCounter`` (reference:
+src/main/scala/skc/multisequence/SparkMultiSequenceKmerCounter.scala): reads
+carry a sequence id; per-bin counting produces per-(k-mer, sequence) count
+vectors; every distinct k-mer updates all pairwise distances with
+``partial(c[s1], c[s2])``; count output per bin is the per-k-mer SUM over
+sequences (:487, :524 — identical to the single-sequence output format).
+
+Deliberate fixes over the reference (SURVEY.md §2.5):
+
+* the pair loop used inclusive ``s1+1 to length`` and overran by one
+  (:453, :475, :513); here pairs are s2 in (s1, S) — corrected.
+* sequence names come from each record's own FASTA header (first token),
+  not the first read of a partition (:61-62 limitation).
+* partial distances are actually aggregated across bins/chips and saved
+  (the reference returned them from mapPartitions and dropped them,
+  README.md:126 "not yet aggregated").
+
+Device-side trick: the sequence id rides as ONE EXTRA KEY WORD through the
+existing sort-count engine (runs become (k-mer, seq) pairs), so multiseq
+counting reuses count_sort verbatim; the O(U·S) pairwise accumulation runs
+vectorized on the host over the final unique table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import JobConfig
+from ..core.bits import num_words
+from ..ingest import fasta
+from ..ops import count_sort, extract
+from ..output import writer
+from ..utils.timing import StageTimer
+from . import distances as dist_mod
+
+
+@dataclasses.dataclass
+class MultiseqConfig(JobConfig):
+    """MultisequenceTestConfiguration equivalent
+    (reference: multisequence/package.scala:25-35)."""
+
+    distance_measure: str = "multisequence.SquaredEuclidean"
+
+
+class MultiseqResult(NamedTuple):
+    words: np.ndarray  # [U, W] unique canonical k-mers (ascending)
+    seqs: np.ndarray  # [U] sequence id per row (k-mer repeats per seq)
+    counts: np.ndarray  # [U] int64
+    bins: np.ndarray  # [U] int32
+    sequence_names: list
+    distances: dict  # (name1, name2) -> float, ordered pairs per symmetry
+    n_instances: int
+    timings: dict
+
+
+@partial(jax.jit, static_argnames=("k", "m", "B"))
+def _batch_count_seq(codes: jnp.ndarray, seq_ids: jnp.ndarray, k: int, m: int, B: int):
+    """Count (k-mer, sequence) pairs: seq id appended as an extra key word.
+
+    The extra column never equals the all-ones sentinel for valid rows, so
+    sentinel-safe sorting applies for every k.
+    """
+    ex = extract.extract(codes, k, m, B)
+    R, L = codes.shape
+    P = L - k + 1
+    seq_col = jnp.broadcast_to(seq_ids[:, None].astype(jnp.uint32), (R, P)).reshape(R * P, 1)
+    words_ext = jnp.concatenate([ex.words, seq_col], axis=1)
+    return count_sort.count_sorted(words_ext, ex.bins, ex.valid, sentinel_safe=True)
+
+
+def accumulate_distances(
+    words: np.ndarray,
+    seqs: np.ndarray,
+    counts: np.ndarray,
+    S: int,
+    measure: dist_mod.DistanceMeasure,
+) -> np.ndarray:
+    """D[a, b] = sum over distinct k-mers of partial(c_a, c_b), rows sorted
+    by (k-mer, seq).  Vectorized: joint pairs via neighbor offsets within
+    k-mer groups (each group has <= S rows), absent-side terms via totals.
+    """
+    U = words.shape[0]
+    D = np.zeros((S, S), np.float64)
+    if U == 0:
+        return D
+    counts = counts.astype(np.float64)
+    kchange = np.empty(U, dtype=bool)
+    kchange[0] = True
+    np.any(words[1:] != words[:-1], axis=1, out=kchange[1:])
+    gid = np.cumsum(kchange) - 1  # k-mer group id per row
+
+    # joint-present pairs: rows i, j in the same group, i < j
+    joint_partial = np.zeros((S, S), np.float64)  # sum partial(ci, cj) over joint
+    joint_single_a = np.zeros((S, S), np.float64)  # sum partial(ci, 0) over joint
+    joint_single_b = np.zeros((S, S), np.float64)  # sum partial(cj, 0) over joint
+    zeros = np.zeros(1, np.float64)
+    for o in range(1, S):
+        if o > U - 1:
+            break
+        same = gid[o:] == gid[:-o]
+        if not same.any():
+            continue
+        a, b = seqs[:-o][same], seqs[o:][same]
+        ca, cb = counts[:-o][same], counts[o:][same]
+        np.add.at(joint_partial, (a, b), measure.partial(ca, cb))
+        np.add.at(joint_partial, (b, a), measure.partial(cb, ca))
+        np.add.at(joint_single_a, (a, b), measure.partial(ca, zeros))
+        np.add.at(joint_single_a, (b, a), measure.partial(cb, zeros))
+        np.add.at(joint_single_b, (a, b), measure.partial(zeros, cb))
+        np.add.at(joint_single_b, (b, a), measure.partial(zeros, ca))
+
+    # totals of one-sided terms over ALL rows of each sequence
+    tot_a = np.zeros(S, np.float64)  # sum partial(c, 0)
+    tot_b = np.zeros(S, np.float64)  # sum partial(0, c)
+    np.add.at(tot_a, seqs, measure.partial(counts, np.zeros_like(counts)))
+    np.add.at(tot_b, seqs, measure.partial(np.zeros_like(counts), counts))
+
+    # D[a,b] = joint pairs + (a-only terms) + (b-only terms)
+    D = joint_partial + (tot_a[:, None] - joint_single_a) + (tot_b[None, :] - joint_single_b)
+    np.fill_diagonal(D, 0.0)
+    return D
+
+
+def execute_multiseq_job(cfg: MultiseqConfig, verbose: bool = True) -> MultiseqResult:
+    from .. import pipeline as base
+
+    timer = StageTimer()
+    measure = dist_mod.get_measure(cfg.distance_measure)
+    if verbose:
+        print(cfg.describe())
+
+    # ingest with per-record sequence ids
+    seq_names: list[str] = []
+    name_to_id: dict[str, int] = {}
+
+    def tagged_reads():
+        for name, seq in fasta.iter_reads(cfg.dataset, cfg.sequence_type, cfg.k, cfg.read_len):
+            base_name = name.split("#")[0].split()[0]
+            if base_name not in name_to_id:
+                name_to_id[base_name] = len(seq_names)
+                seq_names.append(base_name)
+            yield name_to_id[base_name], seq
+
+    W = num_words(cfg.k)
+    parts = []
+    n_rows = 0
+    R, L = cfg.reads_per_batch, cfg.read_len
+    buf = np.full((R, L), 4, dtype=np.uint8)
+    sid = np.zeros(R, dtype=np.int32)
+    row = 0
+    from ..core import bits as bmod
+
+    def flush(row):
+        with timer.span("device_count"):
+            sc = _batch_count_seq(jnp.asarray(buf), jnp.asarray(sid), cfg.k, cfg.m, cfg.b)
+        with timer.span("host_compact"):
+            parts.append(base._compact(sc))
+
+    with timer.span("ingest"):
+        for s, seq in tagged_reads():
+            codes = bmod.encode_ascii(seq)
+            buf[row, : codes.shape[0]] = codes
+            sid[row] = s
+            row += 1
+            n_rows += 1
+            if row == R:
+                flush(row)
+                buf.fill(4)
+                sid.fill(0)
+                row = 0
+        if row:
+            flush(row)
+
+    with timer.span("merge"):
+        if parts:
+            words_ext, counts, bins = base.merge_partials(parts, W + 1)
+        else:
+            words_ext = np.zeros((0, W + 1), np.uint32)
+            counts = np.zeros(0, np.int64)
+            bins = np.zeros(0, np.int32)
+    words = words_ext[:, :W]
+    seqs = words_ext[:, W].astype(np.int32)
+
+    S = len(seq_names)
+    with timer.span("distances"):
+        D = accumulate_distances(words, seqs, counts, S, measure) if S else np.zeros((0, 0))
+        pair_dist = {}
+        for s1 in range(S):
+            for s2 in range(s1 + 1, S):  # corrected: exclusive upper bound
+                pair_dist[(seq_names[s1], seq_names[s2])] = measure.finalize(
+                    float(D[s1, s2]), 0
+                )
+                if not measure.symmetric:
+                    pair_dist[(seq_names[s2], seq_names[s1])] = measure.finalize(
+                        float(D[s2, s1]), 0
+                    )
+
+    if cfg.write:
+        with timer.span("write_output"):
+            # per-bin files carry the per-k-mer SUM over sequences
+            # (SparkMultiSequenceKmerCounter.scala:487)
+            uw, uc, ub = _sum_over_sequences(words, counts, bins)
+            writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
+            _write_distances(cfg.output_dir, pair_dist, measure)
+
+    return MultiseqResult(
+        words, seqs, counts, bins, seq_names, pair_dist, int(counts.sum()), timer.as_dict()
+    )
+
+
+def _sum_over_sequences(words, counts, bins):
+    if words.shape[0] == 0:
+        return words, counts, bins
+    new = np.empty(words.shape[0], dtype=bool)
+    new[0] = True
+    np.any(words[1:] != words[:-1], axis=1, out=new[1:])
+    starts = np.flatnonzero(new)
+    return words[starts], np.add.reduceat(counts, starts), bins[starts]
+
+
+def _write_distances(out_dir: str, pair_dist: dict, measure) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "distances.json")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "measure": measure.name,
+                "symmetric": measure.symmetric,
+                "distances": [
+                    {"seq1": a, "seq2": b, "distance": d} for (a, b), d in pair_dist.items()
+                ],
+            },
+            f,
+            indent=2,
+        )
+    return path

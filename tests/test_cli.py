@@ -1,0 +1,48 @@
+"""CLI parity: the reference's 13 positional args drive a run end-to-end."""
+
+import json
+
+import numpy as np
+
+from fastkmer_tpu import cli
+
+from .test_pipeline_e2e import write_fasta
+
+
+def test_cli_positional_args(tmp_path):
+    rng = np.random.default_rng(1)
+    reads = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(10)]
+    fa = str(tmp_path / "in.fa")
+    write_fasta(fa, reads)
+    stats = str(tmp_path / "stats.json")
+    # k m x B useHT seqType input output prefix write kryo usePart [tasks]
+    rc = cli.main(
+        [
+            "28", "10", "3", "64", "0", "0", fa, str(tmp_path) + "/", "t_",
+            "1", "0", "1", "4",
+            "--platform", "cpu", "--reads-per-batch", "4", "--read-len", "256",
+            "--stats-json", stats,
+        ]
+    )
+    assert rc == 0
+    s = json.load(open(stats))
+    assert s["mode"] == "count" and s["engine"] == "sort"
+    assert s["n_reads"] == 10
+    assert s["n_unique"] > 0
+    # output dir follows the reference naming scheme incl. prefix
+    assert s["output_dir"].endswith("t_k28_m10_x3_b64_s0")
+
+
+def test_cli_multiseq(tmp_path):
+    fa = str(tmp_path / "in.fa")
+    with open(fa, "w") as f:
+        f.write(">s1\nACGTACGTACGTACGTACGTA\n>s2\nTTTTACGTACGTACGTACGGG\n")
+    rc = cli.main(
+        [
+            "8", "4", "3", "32", "0", "0", fa, str(tmp_path) + "/", "",
+            "0", "0", "0",
+            "--multiseq", "--platform", "cpu", "--reads-per-batch", "2",
+            "--read-len", "64",
+        ]
+    )
+    assert rc == 0

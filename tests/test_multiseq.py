@@ -1,0 +1,119 @@
+"""Multisequence mode: per-(k-mer, sequence) counts and pairwise distances
+vs a brute-force oracle; measure semantics vs the reference Java classes."""
+
+import numpy as np
+import pytest
+
+from fastkmer_tpu.multiseq import distances as dm
+
+from . import oracles
+
+
+class TestMeasures:
+    def test_squared_euclidean_scalar(self):
+        m = dm.SquaredEuclidean()
+        assert m.partial(np.array([3.0]), np.array([1.0]))[0] == 4.0
+        assert m.partial(np.array([0.0]), np.array([5.0]))[0] == 25.0
+        assert m.init_distance() == 0.0
+        assert m.operator(1.5, 2.5) == 4.0
+        assert m.finalize(7.0, 10) == 7.0
+        assert m.symmetric
+
+    def test_kld_zero_guard(self):
+        m2 = dm.KLDLog2()
+        assert m2.partial(np.array([0.0]), np.array([5.0]))[0] == 0.0
+        assert m2.partial(np.array([5.0]), np.array([0.0]))[0] == 0.0
+        assert m2.partial(np.array([8.0]), np.array([2.0]))[0] == pytest.approx(8 * 2.0)
+        mn = dm.KLDLogN()
+        assert mn.partial(np.array([8.0]), np.array([2.0]))[0] == pytest.approx(8 * np.log(4.0))
+        assert not m2.symmetric
+
+    def test_normalized_values(self):
+        v = dm.DistanceMeasure.normalized_values(10.0, 101, 20.0, 51, 2)
+        assert v[0] == pytest.approx(0.1)
+        assert v[1] == pytest.approx(0.4)
+
+    def test_registry(self):
+        assert dm.get_measure("squared_euclidean").name == "multisequence.SquaredEuclidean"
+        assert dm.get_measure("multisequence.KLDLog2") is dm.MEASURES["kld_log2"]
+
+
+def brute_distances(seqs_reads: dict, k: int, measure):
+    """Oracle: full per-sequence canonical count dicts, then pairwise sums."""
+    tables = {name: oracles.count_reads(reads, k) for name, reads in seqs_reads.items()}
+    names = list(seqs_reads)
+    out = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            kmers = set(tables[a]) | set(tables[b])
+            ca = np.array([tables[a].get(x, 0) for x in kmers], np.float64)
+            cb = np.array([tables[b].get(x, 0) for x in kmers], np.float64)
+            out[(a, b)] = float(measure.partial(ca, cb).sum())
+            out[(b, a)] = float(measure.partial(cb, ca).sum())
+    return tables, out
+
+
+def write_multi_fasta(path, seqs_reads):
+    with open(path, "w") as f:
+        for name, reads in seqs_reads.items():
+            for i, r in enumerate(reads):
+                f.write(f">{name} read{i}\n{r}\n")
+
+
+@pytest.mark.parametrize("measure_name", ["squared_euclidean", "kld_log2"])
+def test_multiseq_job_matches_oracle(tmp_path, measure_name):
+    from fastkmer_tpu.multiseq.pipeline import MultiseqConfig, execute_multiseq_job
+
+    rng = np.random.default_rng(13)
+    k, m = 16, 6
+
+    def mk_reads(n, L):
+        return ["".join(rng.choice(list("ACGTACGTN"), size=L)) for _ in range(n)]
+
+    seqs_reads = {"alpha": mk_reads(6, 90), "beta": mk_reads(5, 80), "gamma": mk_reads(4, 70)}
+    fa = str(tmp_path / "multi.fa")
+    write_multi_fasta(fa, seqs_reads)
+
+    cfg = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=k, m=m, max_b=32,
+        reads_per_batch=4, read_len=128, distance_measure=measure_name,
+    )
+    res = execute_multiseq_job(cfg, verbose=False)
+    assert res.sequence_names == ["alpha", "beta", "gamma"]
+
+    measure = dm.get_measure(measure_name)
+    tables, expect_d = brute_distances(seqs_reads, k, measure)
+
+    # per-(kmer, seq) counts
+    from fastkmer_tpu.core import bits
+
+    got_tables = {name: {} for name in res.sequence_names}
+    kmers = bits.decode_words_batch(res.words, k)
+    for km, s, c in zip(kmers, res.seqs.tolist(), res.counts.tolist()):
+        got_tables[res.sequence_names[s]][km.decode()] = c
+    assert got_tables == {n: dict(t) for n, t in tables.items()}
+
+    # distances (reference kept only s1<s2 pairs; asymmetric measures get both)
+    for pair, d in res.distances.items():
+        assert d == pytest.approx(expect_d[pair], rel=1e-12), pair
+    n_pairs = 3 if measure.symmetric else 6
+    assert len(res.distances) == n_pairs
+
+    # per-bin files hold the per-k-mer SUM over sequences
+    from fastkmer_tpu.output import writer
+
+    on_disk = writer.read_output_dir(cfg.output_dir)
+    total = {}
+    for t in tables.values():
+        for km, c in t.items():
+            total[km] = total.get(km, 0) + c
+    merged = {}
+    for bin_counts in on_disk.values():
+        merged.update(bin_counts)
+    assert merged == total
+
+    import json, os
+
+    dist_file = json.load(open(os.path.join(cfg.output_dir, "distances.json")))
+    assert dist_file["measure"] == measure.name
+    assert len(dist_file["distances"]) == n_pairs

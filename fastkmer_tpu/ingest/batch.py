@@ -54,9 +54,65 @@ def batch_file(
     k: int,
     reads_per_batch: int,
     read_len: int,
+    use_native: bool | None = None,
 ) -> Iterator[Tuple[np.ndarray, int, int]]:
-    """File -> fixed-shape code batches (short or long sequence mode)."""
+    """File -> fixed-shape code batches (short or long sequence mode).
+
+    Prefers the native C++ parse+encode path (ingest.native) when built and
+    the file is a plain FASTA/FASTQ; falls back to the python parser
+    (which also handles gzip).  Both paths produce identical batches.
+    """
     from . import fasta
 
+    if use_native is not False:
+        try:
+            from . import native
+
+            with open(path, "rb") as f:
+                magic = f.read(2)
+            if native.available() and magic != b"\x1f\x8b":  # native: uncompressed only
+                fmt = fasta.sniff_format(path)
+                codes, starts = native.parse_file(path, fmt)
+                return _batches_from_parsed(codes, starts, k, reads_per_batch, read_len)
+        except Exception:
+            if use_native:
+                raise
     reads = (seq for _, seq in fasta.iter_reads(path, sequence_type, k, chunk_len=read_len))
     return batch_codes(reads, reads_per_batch, read_len)
+
+
+def _batches_from_parsed(
+    codes: np.ndarray, starts: np.ndarray, k: int, reads_per_batch: int, read_len: int
+) -> Iterator[Tuple[np.ndarray, int, int]]:
+    """Assemble batches from natively parsed (codes, record offsets):
+    records longer than read_len are chunked with k-1 overlap (the long-mode
+    PartialSequence semantics), shorter ones pass through."""
+    stride = read_len - (k - 1)
+    rows: list[tuple[int, int]] = []  # (offset, length)
+    for i in range(starts.shape[0] - 1):
+        off, end = int(starts[i]), int(starts[i + 1])
+        ln = end - off
+        if ln <= read_len:
+            rows.append((off, ln))
+        else:
+            pos = off
+            while pos < end:
+                rows.append((pos, min(read_len, end - pos)))
+                if pos + read_len >= end:
+                    break
+                pos += stride
+
+    buf = np.full((reads_per_batch, read_len), bits.INVALID_CODE, dtype=np.uint8)
+    row = 0
+    n_bases = 0
+    for off, ln in rows:
+        buf[row, :ln] = codes[off : off + ln]
+        n_bases += ln
+        row += 1
+        if row == reads_per_batch:
+            yield buf, row, n_bases
+            buf = np.full((reads_per_batch, read_len), bits.INVALID_CODE, dtype=np.uint8)
+            row = 0
+            n_bases = 0
+    if row > 0:
+        yield buf, row, n_bases

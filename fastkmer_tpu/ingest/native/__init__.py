@@ -1,0 +1,107 @@
+"""ctypes bindings for the native ingest library (fkingest.cpp).
+
+Builds the shared library on first import if a compiler is available
+(g++ -O3 -march=native); falls back cleanly when not — callers must check
+``available()``.  The pure-python path in ingest.fasta remains the semantic
+reference; tests assert byte-identical batches from both paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fkingest.cpp")
+_SO = os.path.join(_DIR, "libfkingest.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    for fn in ("fk_parse_fasta", "fk_parse_fastq"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int64
+        f.argtypes = [u8p, ctypes.c_int64, u8p, i64p, ctypes.c_int64]
+    lib.fk_encode.restype = ctypes.c_int64
+    lib.fk_encode.argtypes = [u8p, ctypes.c_int64, u8p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def parse_file(path: str, fmt: str = "fasta"):
+    """Parse+encode a whole file natively.
+
+    Returns (codes: uint8[n_total], rec_starts: int64[n_records+1]).
+    Raises RuntimeError when the native library is unavailable or the file
+    is malformed — callers fall back to the python parser.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    raw = np.fromfile(path, dtype=np.uint8)
+    n = raw.shape[0]
+    codes = np.empty(n, dtype=np.uint8)
+    # record-count bound: one record per '>' / '@' header line, +1 slack
+    max_recs = int((raw == (ord(">") if fmt == "fasta" else ord("@"))).sum()) + 2
+    starts = np.empty(max_recs + 1, dtype=np.int64)
+    fn = lib.fk_parse_fasta if fmt == "fasta" else lib.fk_parse_fastq
+    nrec = fn(
+        _as_u8p(raw),
+        ctypes.c_int64(n),
+        _as_u8p(codes),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(max_recs),
+    )
+    if nrec < 0:
+        raise RuntimeError(f"native parse failed with code {nrec}")
+    total = starts[nrec]
+    return codes[:total], starts[: nrec + 1].copy()
+
+
+def encode(data: bytes) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    raw = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(raw.shape[0], dtype=np.uint8)
+    lib.fk_encode(_as_u8p(raw), ctypes.c_int64(raw.shape[0]), _as_u8p(out))
+    return out

@@ -1,0 +1,130 @@
+// Native FASTA parse + 2-bit encode — the ingest hot path.
+//
+// Plays the role FASTdoop's record readers play for the reference
+// (SURVEY.md §2.6: "record ingest" is one of the JVM-library roles that
+// must become first-class native components): one pass over the raw file
+// bytes produces invalid-code-4 encoded sequence codes with headers and
+// line breaks removed, plus per-record offsets.  Batch assembly (k-1
+// overlap chunking, fixed-shape padding) stays in numpy — slicing an
+// already-encoded uint8 array is memcpy-bound.
+//
+// Exposed via ctypes (no pybind11 in this image); see __init__.py.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ASCII -> 2-bit code; 4 = invalid (mirrors core/bits.py ASCII_TO_CODE,
+// semantics of the reference's nucleotideBitmasks + notANucleotide,
+// package.scala:18-22, :697).  Whitespace is stripped, not encoded.
+struct Lut {
+    uint8_t v[256];
+    Lut() {
+        std::memset(v, 4, sizeof(v));
+        v[uint8_t('A')] = 0;
+        v[uint8_t('C')] = 1;
+        v[uint8_t('G')] = 2;
+        v[uint8_t('T')] = 3;
+    }
+};
+const Lut LUT;
+
+inline bool is_eol_ws(uint8_t c) { return c == '\n' || c == '\r'; }
+
+}  // namespace
+
+extern "C" {
+
+// Encode n raw bytes to codes (no parsing).  Returns n.
+int64_t fk_encode(const uint8_t* in, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = LUT.v[in[i]];
+    return n;
+}
+
+// One-pass FASTA parse+encode.
+//   in/n:        raw file bytes
+//   codes_out:   capacity >= n; receives concatenated encoded records
+//   rec_starts:  capacity >= max_recs + 1; record i occupies
+//                codes_out[rec_starts[i] .. rec_starts[i+1])
+//   max_recs:    capacity guard
+// Returns the number of records, or -1 if max_recs would be exceeded.
+// Header lines ('>' .. end of line) are skipped; '\n'/'\r' are stripped
+// (the reference strips '\n' only, SparkBinKmerCounter.scala:63-64, and
+// leaves '\r' to be treated as an invalid base; stripping it is a strict
+// superset that makes CRLF files parse like LF files).
+int64_t fk_parse_fasta(const uint8_t* in, int64_t n, uint8_t* codes_out,
+                       int64_t* rec_starts, int64_t max_recs) {
+    int64_t nrec = 0;
+    int64_t w = 0;
+    int64_t i = 0;
+    bool in_header = false;
+    bool open_rec = false;
+    while (i < n) {
+        uint8_t c = in[i];
+        if (in_header) {
+            if (c == '\n') in_header = false;
+            ++i;
+            continue;
+        }
+        if (c == '>') {
+            in_header = true;
+            if (nrec >= max_recs) return -1;
+            rec_starts[nrec++] = w;
+            open_rec = true;
+            ++i;
+            continue;
+        }
+        if (is_eol_ws(c)) {
+            ++i;
+            continue;
+        }
+        // sequence byte outside any record (headerless file): open record 0
+        if (!open_rec) {
+            if (nrec >= max_recs) return -1;
+            rec_starts[nrec++] = w;
+            open_rec = true;
+        }
+        codes_out[w++] = LUT.v[c];
+        ++i;
+    }
+    rec_starts[nrec] = w;
+    return nrec;
+}
+
+// One-pass FASTQ parse+encode (4-line records; quality ignored).
+int64_t fk_parse_fastq(const uint8_t* in, int64_t n, uint8_t* codes_out,
+                       int64_t* rec_starts, int64_t max_recs) {
+    int64_t nrec = 0;
+    int64_t w = 0;
+    int64_t i = 0;
+    while (i < n) {
+        // header line starting with '@'
+        while (i < n && is_eol_ws(in[i])) ++i;
+        if (i >= n) break;
+        if (in[i] != '@') return -2;  // malformed
+        while (i < n && in[i] != '\n') ++i;
+        ++i;
+        if (nrec >= max_recs) return -1;
+        rec_starts[nrec++] = w;
+        // sequence line(s) until '+'
+        while (i < n && in[i] != '+') {
+            uint8_t c = in[i];
+            if (!is_eol_ws(c)) codes_out[w++] = LUT.v[c];
+            ++i;
+        }
+        // '+' line
+        while (i < n && in[i] != '\n') ++i;
+        ++i;
+        // quality: same number of non-ws chars as the sequence
+        int64_t need = w - rec_starts[nrec - 1];
+        while (i < n && need > 0) {
+            if (!is_eol_ws(in[i])) --need;
+            ++i;
+        }
+    }
+    rec_starts[nrec] = w;
+    return nrec;
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""Ingest tests: python parser semantics, native C++ parity, chunking."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from fastkmer_tpu.core import bits
+from fastkmer_tpu.ingest import batch as batching
+from fastkmer_tpu.ingest import fasta
+
+
+def test_fasta_multiline_and_invalid(tmp_path):
+    fa = tmp_path / "a.fa"
+    fa.write_text(">r1 desc\nACGT\nACNG\n>r2\nTT\n\n>empty\n>r3\nacgt\n")
+    recs = list(fasta.iter_fasta(str(fa)))
+    assert [r[0] for r in recs] == ["r1 desc", "r2", "empty", "r3"]
+    assert recs[0][1] == b"ACGTACNG"
+    assert recs[2][1] == b""
+    # lowercase is invalid (reference treats non-uppercase-ACGT as N-like)
+    assert np.all(bits.encode_ascii(recs[3][1]) == 4)
+
+
+def test_fastq(tmp_path):
+    fq = tmp_path / "a.fq"
+    fq.write_text("@r1\nACGT\n+\nIIII\n@r2\nGGCC\n+r2\nJJJJ\n")
+    recs = list(fasta.iter_fastq(str(fq)))
+    assert recs == [("r1", b"ACGT"), ("r2", b"GGCC")]
+    assert fasta.sniff_format(str(fq)) == "fastq"
+
+
+def test_gzip_transparent(tmp_path):
+    fa = tmp_path / "a.fa.gz"
+    with gzip.open(fa, "wt") as f:
+        f.write(">r1\nACGTACGT\n")
+    assert list(fasta.iter_records(str(fa))) == [("r1", b"ACGTACGT")]
+
+
+def test_chunk_sequence_lossless():
+    seq = bytes(np.random.default_rng(0).choice(list(b"ACGT"), size=1000))
+    k = 28
+    chunks = list(fasta.chunk_sequence(seq, k, 256))
+    # windows covered exactly once across chunk owned regions
+    stride = 256 - (k - 1)
+    owned = []
+    for i, c in enumerate(chunks):
+        start = i * stride
+        n_windows = len(c) - k + 1
+        owned.extend(range(start, start + n_windows))
+    assert owned == list(range(len(seq) - k + 1))
+    # chunk overlap boundary check: consecutive chunks share k-1 bases
+    for i in range(len(chunks) - 1):
+        assert chunks[i][-(k - 1):] == chunks[i + 1][: k - 1]
+
+
+class TestNative:
+    def test_native_builds(self):
+        from fastkmer_tpu.ingest import native
+
+        assert native.available(), "g++ build of fkingest.so failed"
+
+    def test_native_encode_matches(self):
+        from fastkmer_tpu.ingest import native
+
+        data = b"ACGTNacgtXZ\rT"
+        np.testing.assert_array_equal(native.encode(data), bits.encode_ascii(data))
+
+    def test_native_fasta_parity(self, tmp_path):
+        from fastkmer_tpu.ingest import native
+
+        rng = np.random.default_rng(2)
+        reads = []
+        for i in range(25):
+            ln = int(rng.integers(5, 900))
+            chars = rng.choice(list("ACGTN"), size=ln, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+            reads.append("".join(chars))
+        fa = tmp_path / "big.fa"
+        with open(fa, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f">read{i} some description\n")
+                for j in range(0, len(r), 61):
+                    f.write(r[j : j + 61] + "\n")
+
+        codes, starts = native.parse_file(str(fa), "fasta")
+        assert starts.shape[0] == len(reads) + 1
+        for i, r in enumerate(reads):
+            got = codes[starts[i] : starts[i + 1]]
+            np.testing.assert_array_equal(got, bits.encode_ascii(r), err_msg=f"read {i}")
+
+        # full batch parity: native vs python paths
+        k, R, L = 28, 7, 256
+        nb = list(batching.batch_file(str(fa), 0, k, R, L, use_native=True))
+        pb = list(batching.batch_file(str(fa), 0, k, R, L, use_native=False))
+        assert len(nb) == len(pb)
+        for (a, na, ba), (b, nb_, bb) in zip(nb, pb):
+            np.testing.assert_array_equal(a, b)
+            assert (na, ba) == (nb_, bb)
+
+    def test_native_fastq_parity(self, tmp_path):
+        from fastkmer_tpu.ingest import native
+
+        fq = tmp_path / "x.fq"
+        fq.write_text("@r1 d\nACGTNN\n+\nIIIIII\n@r2\nGG\nCC\n+x\nJJJJ\n")
+        codes, starts = native.parse_file(str(fq), "fastq")
+        assert starts.tolist() == [0, 6, 10]
+        np.testing.assert_array_equal(codes[:6], bits.encode_ascii(b"ACGTNN"))
+        np.testing.assert_array_equal(codes[6:10], bits.encode_ascii(b"GGCC"))

@@ -1,0 +1,133 @@
+"""Distributed job driver — executeJob over a device mesh.
+
+The multi-chip form of pipeline.execute_job (reference orchestration:
+SparkBinKmerCounter.scala:989-1046): streams file batches through the
+all-to-all exchange, with the optional LPT pre-pass
+(useCustomPartitioner, :1023-1026) run on a sample of batches first.
+
+Per-chip partial tables accumulate host-side per chip (bins are chip-owned,
+so cross-chip merging is never needed — the property the Spark shuffle
+provided) and merge once at the end.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import JobConfig
+from ..core.bits import num_words
+from ..ingest import batch as batching
+from ..output import writer
+from ..utils.timing import StageTimer
+from . import exchange, partitioner
+
+
+class DistributedResult(NamedTuple):
+    words: np.ndarray
+    counts: np.ndarray
+    bins: np.ndarray
+    n_instances: int
+    n_bases: int
+    n_reads: int
+    owner_map: np.ndarray
+    balance: dict
+    exchange_bytes: int
+    timings: dict
+
+
+def execute_job_distributed(
+    cfg: JobConfig,
+    mesh: Mesh,
+    cap: int | None = None,
+    smer_transport: bool = False,
+    smax: int = 64,
+    verbose: bool = True,
+) -> DistributedResult:
+    timer = StageTimer()
+    n = mesh.shape[exchange.AXIS]
+    if verbose:
+        print(cfg.describe())
+        print(f"mesh: {n} devices, transport={'super-k-mer' if smer_transport else 'k-mer'}")
+
+    R, L = cfg.reads_per_batch, cfg.read_len
+    if R % n:
+        R = -(-R // n) * n  # round rows up to a multiple of the mesh size
+
+    def batches():
+        return batching.batch_file(cfg.dataset, cfg.sequence_type, cfg.k, R, L)
+
+    # --- optional LPT pre-pass on a sample of batches ---
+    hist = np.zeros(cfg.b, dtype=np.int64)
+    if cfg.use_custom_partitioner:
+        est = exchange.estimate_bin_sizes(mesh, cfg.k, cfg.m, cfg.b)
+        take = max(1, int(round(1.0 / max(cfg.sample_fraction, 1e-9))))
+        with timer.span("lpt_prepass"):
+            for i, (codes, _, _) in enumerate(batches()):
+                if i % take == 0:  # deterministic 1-in-take sampling
+                    hist += np.asarray(est(exchange.shard_batch(mesh, codes)), dtype=np.int64)
+        owner_map = partitioner.lpt_owner_map(hist, n, cfg.b)
+    else:
+        owner_map = partitioner.hash_owner_map(cfg.b, n)
+    balance = partitioner.balance_stats(hist, owner_map, n)
+
+    # --- capacity: worst-case per-(src,dst) entries unless caller sized it ---
+    positions = (R // n) * (L - cfg.k + 1)
+    if cap is None:
+        cap = positions if not smer_transport else (positions + 1)
+    if smer_transport:
+        step = exchange.build_distributed_count_smer(
+            mesh, cfg.k, cfg.m, cfg.b, cap, smax, owner_map
+        )
+    else:
+        step = exchange.build_distributed_count(mesh, cfg.k, cfg.m, cfg.b, cap, owner_map)
+
+    per_chip_parts: list[list] = [[] for _ in range(n)]
+    n_reads = 0
+    n_bases = 0
+    n_steps = 0
+    for codes, nr, nb in batches():
+        with timer.span("device_step"):
+            sc = step(exchange.shard_batch(mesh, codes))
+        dropped = int(sc.dropped)
+        if dropped:
+            raise RuntimeError(
+                f"exchange capacity overflow: {dropped} entries dropped; raise cap (= {cap})"
+            )
+        with timer.span("host_compact"):
+            for c, part in enumerate(exchange.compact_shard_counts(sc)):
+                per_chip_parts[c].append(part)
+        n_reads += nr
+        n_bases += nb
+        n_steps += 1
+
+    W = num_words(cfg.k)
+    from .. import pipeline as base
+
+    with timer.span("merge"):
+        merged = [base.merge_partials(p, W) if p else None for p in per_chip_parts]
+        merged = [m for m in merged if m is not None and m[0].shape[0]]
+        if merged:
+            words = np.concatenate([m[0] for m in merged])
+            counts = np.concatenate([m[1] for m in merged])
+            bins = np.concatenate([m[2] for m in merged])
+            order = np.lexsort(tuple(words[:, w] for w in reversed(range(W))))
+            words, counts, bins = words[order], counts[order], bins[order]
+        else:
+            words = np.zeros((0, W), np.uint32)
+            counts = np.zeros(0, np.int64)
+            bins = np.zeros(0, np.int32)
+
+    if cfg.write:
+        with timer.span("write_output"):
+            writer.write_bin_files(cfg.output_dir, words, counts, bins, cfg.k)
+
+    xbytes = n_steps * exchange.exchange_bytes_per_step(
+        n, cap, cfg.k, smax if smer_transport else None
+    )
+    return DistributedResult(
+        words, counts, bins, int(counts.sum()), n_bases, n_reads,
+        owner_map, balance, xbytes, timer.as_dict(),
+    )

@@ -100,13 +100,22 @@ def count_batches(
     B: int,
     timer: StageTimer | None = None,
     engine: str = "sort",
+    checkpointer=None,
 ) -> CountResult:
     timer = timer or StageTimer()
     parts = []
     n_reads = 0
     n_bases = 0
     W = num_words(k)
-    for codes, nr, nb in batches:
+    skip = 0
+    if checkpointer is not None:
+        skip = checkpointer.completed_batches()
+        parts.extend(checkpointer.load_parts())
+    for batch_idx, (codes, nr, nb) in enumerate(batches):
+        if batch_idx < skip:  # already counted before the interruption
+            n_reads += nr
+            n_bases += nb
+            continue
         with timer.span("device_count"):
             if engine == "hash":
                 sc, collision = _batch_count_ht(jnp.asarray(codes), k, m, B)
@@ -120,7 +129,10 @@ def count_batches(
                 sc = _batch_count(jnp.asarray(codes), k, m, B)
             jax.block_until_ready(sc.counts)
         with timer.span("host_compact"):
-            parts.append(_compact(sc))
+            part = _compact(sc)
+            parts.append(part)
+            if checkpointer is not None:
+                checkpointer.save_batch(batch_idx, *part)
         n_reads += nr
         n_bases += nb
     with timer.span("merge"):
@@ -135,25 +147,56 @@ def count_batches(
     )
 
 
-def execute_job(cfg: JobConfig, verbose: bool = True) -> CountResult:
+def execute_job(
+    cfg: JobConfig,
+    verbose: bool = True,
+    checkpoint_dir: str | None = None,
+    trace_dir: str | None = None,
+) -> CountResult:
     """Count k-mers in cfg.dataset and (optionally) write per-bin files.
 
     Mirrors the reference orchestrator's switch matrix
     (SparkBinKmerCounter.scala:1023-1044); the sort and HT engines must
     produce identical tables, so engine choice only affects the device step.
+
+    ``checkpoint_dir`` enables batch-level resume (output.manifest);
+    ``trace_dir`` wraps the run in a jax.profiler trace.
+    ``use_kryo_serializer`` maps to the binary output format (the Kryo
+    writer was the reference's binary variant, SparkBinKmerCounter.scala:557).
     """
+    from .output import manifest as manifest_mod
+    from .utils.timing import maybe_profile
+
     timer = StageTimer(verbose=False)
     if verbose:
         print(cfg.describe())
+    ckpt = manifest_mod.BatchCheckpointer(checkpoint_dir) if checkpoint_dir else None
     batches = batching.batch_file(
         cfg.dataset, cfg.sequence_type, cfg.k, cfg.reads_per_batch, cfg.read_len
     )
     engine = "hash" if cfg.use_ht else "sort"
-    res = count_batches(batches, cfg.k, cfg.m, cfg.b, timer, engine=engine)
+    with maybe_profile(trace_dir):
+        res = count_batches(
+            batches, cfg.k, cfg.m, cfg.b, timer, engine=engine, checkpointer=ckpt
+        )
     if cfg.write:
         with timer.span("write_output"):
-            writer.write_bin_files(
-                cfg.output_dir, res.words, res.counts, res.bins, cfg.k,
-                eof_sentinel=not cfg.use_ht,
+            if cfg.use_kryo_serializer:
+                writer.write_binary(cfg.output_dir, res.words, res.counts, res.bins, cfg.k)
+            else:
+                writer.write_bin_files(
+                    cfg.output_dir, res.words, res.counts, res.bins, cfg.k,
+                    eof_sentinel=not cfg.use_ht,
+                )
+            manifest_mod.write_manifest(
+                cfg.output_dir, dataclasses_dict(cfg), res.words, res.counts, res.bins
             )
+    if ckpt is not None:
+        ckpt.clear()  # run completed; checkpoints no longer needed
     return res._replace(timings=timer.as_dict())
+
+
+def dataclasses_dict(cfg: JobConfig) -> dict:
+    import dataclasses
+
+    return {k: v for k, v in dataclasses.asdict(cfg).items() if not callable(v)}

@@ -1,0 +1,105 @@
+"""Distributed file driver + debug jobs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastkmer_tpu.config import JobConfig
+from fastkmer_tpu.core import bits
+
+from . import oracles
+from .test_pipeline_e2e import write_fasta
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    rng = np.random.default_rng(21)
+    reads = []
+    for _ in range(50):
+        ln = int(rng.integers(40, 300))
+        chars = rng.choice(list("ACGT"), size=ln)
+        chars[rng.random(ln) < 0.01] = "N"
+        reads.append("".join(chars))
+    fa = str(tmp_path / "reads.fa")
+    write_fasta(fa, reads)
+    return fa, reads
+
+
+@pytest.mark.parametrize("smer,custom_part", [(False, False), (False, True), (True, False)])
+def test_execute_job_distributed(tmp_path, dataset, smer, custom_part):
+    import jax
+
+    from fastkmer_tpu.parallel import driver, exchange
+
+    fa, reads = dataset
+    mesh = jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/out_", k=28, m=10, max_b=64,
+        reads_per_batch=16, read_len=512,
+        use_custom_partitioner=custom_part, num_partition_tasks=8,
+    )
+    res = driver.execute_job_distributed(cfg, mesh, smer_transport=smer, verbose=False)
+    expect = oracles.count_reads(reads, 28)
+    kmers = bits.decode_words_batch(res.words, 28)
+    got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+    assert got == dict(expect)
+    assert res.n_reads == 50
+    assert res.exchange_bytes > 0
+
+    # on-disk per-bin output parity
+    from fastkmer_tpu.output import writer
+
+    on_disk = writer.read_output_dir(cfg.output_dir)
+    expect_binned = oracles.count_reads_binned(reads, 28, 10, cfg.b)
+    assert {b: dict(c) for b, c in expect_binned.items()} == on_disk
+
+
+def test_find_bin_signatures(tmp_path, dataset):
+    from fastkmer_tpu import debug
+
+    fa, reads = dataset
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/sig_", k=28, m=10, max_b=64,
+        reads_per_batch=16, read_len=512, write=False,
+    )
+    hists = debug.find_bin_signatures(cfg)
+    # every signature string must live in the bin its hash maps to, and the
+    # total super-k-mer count must cover every valid window exactly once
+    norm = bits.fill_norm(10)
+    total_kmers = 0
+    for b, hist in hists.items():
+        for sig_str in hist:
+            if sig_str == "<none>":
+                assert b == bits.hash_to_bucket(4**10, cfg.b)
+            else:
+                v = 0
+                for ch in sig_str:
+                    v = (v << 2) | "ACGT".index(ch)
+                assert int(norm[v]) == v, f"signature {sig_str} not norm-canonical"
+                assert b == bits.hash_to_bucket(v, cfg.b)
+    n_smers = sum(sum(h.values()) for h in hists.values())
+    n_windows = sum(len(list(oracles.clean_kmers(r, 28))) for r in reads)
+    assert 0 < n_smers <= n_windows  # every record covers >= 1 window
+
+    out_dir = debug.save_bin_signatures(cfg)
+    files = [f for f in os.listdir(out_dir) if f.startswith("bin_signatures")]
+    assert len(files) == len(hists)
+    some = open(os.path.join(out_dir, files[0])).read().splitlines()
+    assert some[-1].startswith("Total\t")
+
+
+def test_evaluate_partition_balance(tmp_path, dataset):
+    from fastkmer_tpu import debug
+    from fastkmer_tpu.parallel import partitioner
+
+    fa, _ = dataset
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=28, m=10, max_b=64,
+        reads_per_batch=16, read_len=512, write=False,
+    )
+    owner = partitioner.hash_owner_map(cfg.b, 4)
+    out = str(tmp_path / "balance.txt")
+    stats = debug.evaluate_partition_balance(cfg, owner, out)
+    assert os.path.exists(out)
+    assert stats["total"] > 0 and len(stats["loads"]) == 4

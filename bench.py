@@ -29,14 +29,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fastkmer_tpu.ops import count_sort, extract
+    from fastkmer_tpu import pipeline
 
     @jax.jit
     def step(codes):
-        ex = extract.extract(codes, K, M, B)
-        sc = count_sort.count_sorted(ex.words, ex.bins, ex.valid)
+        sc = pipeline._batch_count(codes, K, M, B)
         # return only scalars + compact stats so timing excludes D2H of tables
-        return sc.n_valid, sc.counts.max(), sc.words[0, 0]
+        return sc.n_valid, sc.counts.max(), sc.words[0, 0], sc.bins.max()
 
     rng = np.random.default_rng(0)
     host = rng.integers(0, 4, size=(R, L)).astype(np.uint8)

@@ -70,12 +70,16 @@ def _batch_count_seq(codes: jnp.ndarray, seq_ids: jnp.ndarray, k: int, m: int, B
     The extra column never equals the all-ones sentinel for valid rows, so
     sentinel-safe sorting applies for every k.
     """
+    from ..ops import binhash
+
     ex = extract.extract(codes, k, m, B)
     R, L = codes.shape
     P = L - k + 1
     seq_col = jnp.broadcast_to(seq_ids[:, None].astype(jnp.uint32), (R, P)).reshape(R * P, 1)
     words_ext = jnp.concatenate([ex.words, seq_col], axis=1)
-    return count_sort.count_sorted(words_ext, ex.bins, ex.valid, sentinel_safe=True)
+    sc = count_sort.count_sorted(words_ext, None, ex.valid, sentinel_safe=True)
+    W = ex.words.shape[1]
+    return sc._replace(bins=binhash.bins_from_words(sc.words[:, :W], k, m, B))
 
 
 def accumulate_distances(

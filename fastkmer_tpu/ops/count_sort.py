@@ -45,17 +45,24 @@ class SortedCounts(NamedTuple):
 
 def count_sorted(
     words: jnp.ndarray,
-    bins: jnp.ndarray,
+    bins: jnp.ndarray | None,
     valid: jnp.ndarray,
     weights: jnp.ndarray | None = None,
     sentinel_safe: bool = False,
 ) -> SortedCounts:
-    """words [N, W] uint32, bins [N] int32, valid [N] bool -> SortedCounts.
+    """words [N, W] uint32, valid [N] bool -> SortedCounts.
 
-    ``weights`` (int32, default all-ones) generalizes instance counting to
-    *merging* pre-counted partials: feeding back unique k-mers with their
-    counts as weights sums counts per k-mer — used to combine batches and,
-    across chips, all-to-all'd partial tables.
+    ``bins`` ([N] int32) and ``weights`` ([N] int32) are OPTIONAL carried
+    columns — every extra column is permuted by every pass of the device
+    sort, so callers that can recompute bins from the unique words
+    (ops.binhash.bins_from_words) or that count unweighted instances should
+    pass None; the returned SortedCounts.bins is then None and counts are
+    plain run lengths.
+
+    ``weights`` generalizes instance counting to *merging* pre-counted
+    partials: feeding back unique k-mers with their counts as weights sums
+    counts per k-mer — used to combine batches and, across chips,
+    all-to-all'd partial tables.
 
     ``sentinel_safe=True`` (valid when k % 16 != 0, i.e. the last word has
     zero pad bits) drops the leading validity key: invalid rows are rewritten
@@ -64,25 +71,28 @@ def count_sorted(
     column per bitonic pass.
     """
     N, W = words.shape
-    w_in = jnp.ones(N, jnp.int32) if weights is None else weights.astype(jnp.int32)
-    w_in = jnp.where(valid, w_in, 0)
+    values: list = []
+    if bins is not None:
+        values.append(bins)
+    if weights is not None:
+        values.append(jnp.where(valid, weights.astype(jnp.int32), 0))
     if sentinel_safe:
         ones = jnp.uint32(0xFFFFFFFF)
         wcols = [jnp.where(valid, words[:, w], ones) for w in range(W)]
-        out = jax.lax.sort(tuple(wcols) + (bins, w_in), num_keys=W, is_stable=False)
+        out = jax.lax.sort(tuple(wcols) + tuple(values), num_keys=W, is_stable=False)
         swords = out[:W]
-        sbins = out[W]
-        sw = out[W + 1]
+        svals = out[W:]
         svalid = swords[W - 1] != jnp.uint32(0xFFFFFFFF)
     else:
         flag = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
         keys = [flag] + [words[:, w] for w in range(W)]
-        out = jax.lax.sort(tuple(keys) + (bins, w_in), num_keys=W + 1, is_stable=False)
-        sflag = out[0]
+        out = jax.lax.sort(tuple(keys) + tuple(values), num_keys=W + 1, is_stable=False)
         swords = out[1 : W + 1]
-        sbins = out[W + 1]
-        sw = out[W + 2]
-        svalid = sflag == jnp.uint32(0)
+        svals = out[W + 1 :]
+        svalid = out[0] == jnp.uint32(0)
+    sbins = svals[0] if bins is not None else None
+    sw = svals[-1] if weights is not None else None
+
     diff = jnp.zeros(N, dtype=bool).at[0].set(True)
     for w in range(W):
         diff = diff | jnp.concatenate(
@@ -91,20 +101,25 @@ def count_sorted(
     diff = diff | jnp.concatenate([jnp.zeros(1, dtype=bool), svalid[1:] != svalid[:-1]])
     is_start = diff & svalid
 
-    # run weight-sum = suffix-sum difference between this boundary and the next
+    # run extent via the next-boundary index (suffix cummin)
     idx = jnp.arange(N, dtype=jnp.int32)
     bpos = jnp.where(diff, idx, jnp.int32(N))
     nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
-    cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))  # cw[i] = sum_{j>=i} sw[j]
-    cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
-    counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
+    if weights is None:
+        counts = jnp.where(is_start, nxt - idx, 0)  # plain run length
+        n_valid = jnp.sum(svalid.astype(jnp.int32))
+    else:
+        cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))  # cw[i] = sum_{j>=i} sw[j]
+        cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
+        counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
+        n_valid = jnp.sum(sw)
 
     return SortedCounts(
         words=jnp.stack(swords, axis=1),
         bins=sbins,
         is_start=is_start,
         counts=counts,
-        n_valid=jnp.sum(sw),
+        n_valid=n_valid,
     )
 
 

@@ -118,19 +118,22 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
         ),
     )
     def step(codes: jnp.ndarray, owner_tab: jnp.ndarray) -> ShardCounts:
+        from ..ops import binhash
+
         ex = extract.extract(codes, k, m, B)
         W = ex.words.shape[1]
         owner = owner_tab[ex.bins]
-        cols = tuple(ex.words[:, w] for w in range(W)) + (ex.bins,)
+        # no bin lane: the owner recomputes bins from the words it receives
+        cols = tuple(ex.words[:, w] for w in range(W))
         routed, bok, ndrop = route_by_owner(owner, ex.valid, cols, n, cap)
         # exchange: row block [d*cap:(d+1)*cap) goes to chip d
         recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
         rw = jnp.stack(recv[:W], axis=1)
-        rb = recv[W]
-        rok = recv[W + 1]
+        rok = recv[W]
         sc = count_sort.count_sorted(
-            rw, rb, rok == jnp.uint32(1), sentinel_safe=count_sort.sentinel_safe_for(k)
+            rw, None, rok == jnp.uint32(1), sentinel_safe=count_sort.sentinel_safe_for(k)
         )
+        sc = sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
         dropped = jax.lax.psum(ndrop, AXIS)
         return ShardCounts(
             words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],
@@ -169,24 +172,30 @@ def build_distributed_count_smer(
         ),
     )
     def step(codes: jnp.ndarray, owner_tab: jnp.ndarray) -> ShardCounts:
+        from ..ops import binhash
+
         sk, _ex = superkmer.group(codes, k, m, B, smax)
         owner = owner_tab[sk.bins]
-        cols = tuple(sk.payload[:, w] for w in range(PW)) + (sk.n_kmers, sk.bins)
+        # records carry payload + run length only; bins are recomputed on
+        # the owner from the expanded words
+        cols = tuple(sk.payload[:, w] for w in range(PW)) + (sk.n_kmers,)
         routed, bok, ndrop = route_by_owner(owner, sk.is_start, cols, n, cap)
         recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
         rpay = jnp.stack(recv[:PW], axis=1)  # [n*cap, PW]
         rnk = recv[PW]
-        rbins = recv[PW + 1]
-        rok = recv[PW + 2] == jnp.uint32(1)
+        rok = recv[PW + 1] == jnp.uint32(1)
         nk = jnp.where(rok, rnk, 0)
-        kwords, kvalid, kbins = superkmer.expand(rpay, nk, rbins, k, smax)
+        kwords, kvalid, _kb = superkmer.expand(
+            rpay, nk, jnp.zeros_like(rnk), k, smax
+        )
         S, C, W = kwords.shape
         sc = count_sort.count_sorted(
             kwords.reshape(S * C, W),
-            kbins.reshape(S * C),
+            None,
             kvalid.reshape(S * C),
             sentinel_safe=count_sort.sentinel_safe_for(k),
         )
+        sc = sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
         dropped = jax.lax.psum(ndrop, AXIS)
         return ShardCounts(
             words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],
@@ -205,9 +214,9 @@ def exchange_bytes_per_step(n: int, cap: int, k: int, smax: int | None = None) -
     from ..ops import superkmer
 
     if smax is None:
-        lanes = num_words(k) + 2  # words + bin + ok
+        lanes = num_words(k) + 1  # words + ok (bins recomputed on the owner)
     else:
-        lanes = superkmer.payload_words(smax) + 3  # payload + n_kmers + bin + ok
+        lanes = superkmer.payload_words(smax) + 2  # payload + n_kmers + ok
     return n * cap * lanes * 4
 
 

@@ -44,11 +44,19 @@ class CountResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))
 def _batch_count(codes: jnp.ndarray, k: int, m: int, B: int) -> count_sort.SortedCounts:
-    """One fused device step: extract all windows, sort, run-length count."""
+    """One fused device step: extract all windows, sort, run-length count.
+
+    The sort carries ONLY the key words (no bin/weight lanes) — bins are
+    recomputed from the sorted words afterwards (ops.binhash), which costs
+    elementwise VPU work instead of a permuted column per sort pass.
+    """
+    from .ops import binhash
+
     ex = extract.extract(codes, k, m, B)
-    return count_sort.count_sorted(
-        ex.words, ex.bins, ex.valid, sentinel_safe=count_sort.sentinel_safe_for(k)
+    sc = count_sort.count_sorted(
+        ex.words, None, ex.valid, sentinel_safe=count_sort.sentinel_safe_for(k)
     )
+    return sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))

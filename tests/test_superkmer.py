@@ -109,8 +109,6 @@ def test_smer_exchange_matches_oracle():
     got = {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
     assert got == dict(oracles.count_reads(reads, k))
 
-    # super-k-mer transport must move fewer bytes than per-k-mer transport
-    # for the same workload when caps are sized to the same occupancy
-    per_kmer = exchange.exchange_bytes_per_step(8, 512, k)
-    smer = exchange.exchange_bytes_per_step(8, 512, k, smax)
-    assert smer < per_kmer * (smax // 16 + 3) / (bits.num_words(k) + 2) + 1  # sanity of formula
+    # shuffle-bytes accounting: per-record lane math
+    assert exchange.exchange_bytes_per_step(8, 512, k) == 8 * 512 * (bits.num_words(k) + 1) * 4
+    assert exchange.exchange_bytes_per_step(8, 512, k, smax) == 8 * 512 * (smax // 16 + 2) * 4

@@ -30,12 +30,32 @@ def unpack_words(words: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=1)
 
 
+def _mmer_at(wcols: list, k: int, m: int, j: int) -> jnp.ndarray:
+    """m-mer starting at base j, stitched from packed word columns ([N])."""
+    a, r = divmod(j, BASES_PER_WORD)
+    if r == 0:
+        v = wcols[a]
+    else:
+        v = wcols[a] << jnp.uint32(2 * r)
+        if a + 1 < len(wcols) and r + m > BASES_PER_WORD:
+            v = v | (wcols[a + 1] >> jnp.uint32(32 - 2 * r))
+    return v >> jnp.uint32(2 * (BASES_PER_WORD - m))
+
+
 def signatures_from_words(words: jnp.ndarray, k: int, m: int) -> jnp.ndarray:
-    """Minimizer signature of each packed k-mer row ([N] uint32)."""
-    codes2 = unpack_words(words, k)  # [N, k]
-    mvals = windows.rolling_pack(codes2, m)  # [N, k-m+1]
-    norms = jbits.norm_mmers(mvals, m)
-    return windows.window_min(norms, k - m + 1)[:, 0]
+    """Minimizer signature of each packed k-mer row ([N] uint32).
+
+    Written as a statically-unrolled chain of [N]-shaped elementwise ops
+    (stitch + analytic norm + min per window) so XLA fuses the whole
+    computation into one pass — materializing [N, k] unpacked-code or
+    [N, k-m+1] norm matrices costs ~30x the HBM traffic.
+    """
+    wcols = [words[:, w] for w in range(words.shape[1])]
+    sig = None
+    for j in range(k - m + 1):
+        nv = jbits.norm_mmers(_mmer_at(wcols, k, m, j), m)
+        sig = nv if sig is None else jnp.minimum(sig, nv)
+    return sig
 
 
 def bins_from_words(words: jnp.ndarray, k: int, m: int, B: int) -> jnp.ndarray:

@@ -123,6 +123,37 @@ def count_sorted(
     )
 
 
+def count_presentineled(cols: list) -> SortedCounts:
+    """Count from pre-sentineled key columns (invalid rows already all-ones,
+    e.g. from ops.pallas_extract.extract_pallas_sentinel): sorts the bare
+    keys and derives validity from the sentinel — zero value lanes, zero
+    pre-sort rewrites.  bins in the result are None."""
+    W = len(cols)
+    N = cols[0].shape[0]
+    swords = jax.lax.sort(tuple(cols), num_keys=W, is_stable=False)
+    svalid = swords[W - 1] != jnp.uint32(0xFFFFFFFF)
+
+    diff = jnp.zeros(N, dtype=bool).at[0].set(True)
+    for w in range(W):
+        diff = diff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), swords[w][1:] != swords[w][:-1]]
+        )
+    is_start = diff & svalid
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    bpos = jnp.where(diff, idx, jnp.int32(N))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
+    counts = jnp.where(is_start, nxt - idx, 0)
+
+    return SortedCounts(
+        words=jnp.stack(swords, axis=1),
+        bins=None,
+        is_start=is_start,
+        counts=counts,
+        n_valid=jnp.sum(svalid.astype(jnp.int32)),
+    )
+
+
 def sentinel_safe_for(k: int) -> bool:
     """True when the last packed word has zero pad bits (k % 16 != 0), so
     the all-ones sentinel cannot collide with any real k-mer."""

@@ -60,6 +60,32 @@ def _batch_count(codes: jnp.ndarray, k: int, m: int, B: int) -> count_sort.Sorte
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))
+def _batch_count_pallas(codes: jnp.ndarray, k: int, m: int, B: int) -> count_sort.SortedCounts:
+    """TPU fast path: fused Pallas stage-1 emitting pre-sentineled sort keys
+    directly (k <= 32, k % 16 != 0)."""
+    from .ops import binhash, pallas_extract
+
+    cols = pallas_extract.extract_pallas_sentinel(codes, k, m, B)
+    sc = count_sort.count_presentineled(cols)
+    return sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
+
+
+def pallas_count_available(k: int) -> bool:
+    import os
+
+    import jax as _jax
+
+    from .ops import pallas_extract
+
+    return (
+        os.environ.get("FASTKMER_NO_PALLAS") != "1"
+        and _jax.default_backend() not in ("cpu",)
+        and pallas_extract.supported(k)
+        and count_sort.sentinel_safe_for(k)
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "m", "B"))
 def _batch_count_ht(codes: jnp.ndarray, k: int, m: int, B: int):
     """HT-engine device step (useHT=1): fingerprint-keyed counting."""
     from .ops import count_hash
@@ -119,6 +145,7 @@ def count_batches(
     if checkpointer is not None:
         skip = checkpointer.completed_batches()
         parts.extend(checkpointer.load_parts())
+    use_pallas = engine == "sort" and pallas_count_available(k)
     for batch_idx, (codes, nr, nb) in enumerate(batches):
         if batch_idx < skip:  # already counted before the interruption
             n_reads += nr
@@ -133,6 +160,8 @@ def count_batches(
                     raise FingerprintCollision(
                         "64-bit fingerprint collision; re-run with the sort engine"
                     )
+            elif use_pallas:
+                sc = _batch_count_pallas(jnp.asarray(codes), k, m, B)
             else:
                 sc = _batch_count(jnp.asarray(codes), k, m, B)
             jax.block_until_ready(sc.counts)

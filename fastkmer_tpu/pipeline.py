@@ -237,3 +237,32 @@ def dataclasses_dict(cfg: JobConfig) -> dict:
     import dataclasses
 
     return {k: v for k, v in dataclasses.asdict(cfg).items() if not callable(v)}
+
+
+def repair_output(cfg: JobConfig, verbose: bool = True) -> dict:
+    """Idempotent re-run of failed bins (SURVEY §5: the recovery mechanism
+    the reference's commented-out bin bookkeeping gestured at,
+    SparkBinKmerCounter.scala:608-639): verify the manifest, recount, and
+    rewrite ONLY the missing/mismatched bin files."""
+    from .output import manifest as manifest_mod
+
+    status = manifest_mod.verify_output(cfg.output_dir)
+    if status["ok"]:
+        return status
+    bad = set(status["missing"]) | set(status["mismatched"])
+    if verbose:
+        print(f"repairing {len(bad)} bins: {sorted(bad)}")
+    # recount (pure) and rewrite only the bad bins
+    res = execute_job(dataclasses_replace(cfg, write=False), verbose=False)
+    sel = np.isin(res.bins, list(bad))
+    writer.write_bin_files(
+        cfg.output_dir, res.words[sel], res.counts[sel], res.bins[sel], cfg.k,
+        eof_sentinel=not cfg.use_ht,
+    )
+    return manifest_mod.verify_output(cfg.output_dir)
+
+
+def dataclasses_replace(cfg: JobConfig, **kw) -> JobConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)

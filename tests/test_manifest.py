@@ -67,3 +67,24 @@ def test_checkpoint_resume(tmp_path):
     expect = oracles.count_reads(reads, cfg.k)
     assert result_as_dict(res, cfg.k) == dict(expect)
     assert ckpt.completed_batches() == 0  # cleared after completion
+
+
+def test_repair_output(tmp_path):
+    """Delete a bin file; repair_output must restore it exactly."""
+    import os
+
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.output import writer
+
+    fa, reads = _mk_dataset(tmp_path, n=20, seed=5)
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=20, m=8, max_b=32,
+        reads_per_batch=8, read_len=256,
+    )
+    pipeline.execute_job(cfg, verbose=False)
+    before = writer.read_output_dir(cfg.output_dir)
+    victim = sorted(before)[1]
+    os.remove(os.path.join(cfg.output_dir, f"bin{victim}"))
+    status = pipeline.repair_output(cfg, verbose=False)
+    assert status["ok"], status
+    assert writer.read_output_dir(cfg.output_dir) == before

@@ -29,7 +29,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fastkmer_tpu import pipeline
+    from fastkmer_tpu import pipeline  # noqa: F401  (also enables the XLA cache)
 
     batch_fn = (
         pipeline._batch_count_pallas if pipeline.pallas_count_available(K) else pipeline._batch_count

@@ -30,6 +30,7 @@ from .ingest import batch as batching
 from .ops import count_sort, extract
 from .output import writer
 from .utils.timing import StageTimer
+from .utils import jaxcache  # noqa: F401  (enables persistent XLA cache)
 
 
 class CountResult(NamedTuple):
@@ -94,6 +95,150 @@ def _batch_count_ht(codes: jnp.ndarray, k: int, m: int, B: int):
     return count_hash.count_hashed(ex.words, ex.bins, ex.valid)
 
 
+@partial(jax.jit, static_argnames=())
+def _to_merge_rows(sc: count_sort.SortedCounts):
+    """SortedCounts -> (word cols, weights) in 'merge row' form: unique rows
+    keep their words + total count, all other rows become sentinel/0."""
+    W = sc.words.shape[1]
+    ones = jnp.uint32(0xFFFFFFFF)
+    cols = tuple(jnp.where(sc.is_start, sc.words[:, w], ones) for w in range(W))
+    return cols, jnp.where(sc.is_start, sc.counts, 0)
+
+
+@partial(jax.jit, static_argnames=())
+def _merge_rows(cols: tuple, wts: jnp.ndarray):
+    """Weighted dedup-sort of merge rows; returns (SortedCounts, n_unique)."""
+    W = len(cols)
+    valid = cols[W - 1] != jnp.uint32(0xFFFFFFFF)
+    sc = count_sort.count_sorted(
+        jnp.stack(cols, axis=1), None, valid, weights=wts, sentinel_safe=True
+    )
+    return sc, jnp.sum(sc.is_start.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_rows(sc: count_sort.SortedCounts, cap: int):
+    """Stream-compact unique rows of a merged table to a [cap] prefix.
+
+    Done with one more sort keyed on (is_start ? idx : N+idx) — a monotone
+    key that floats the unique rows (already in k-mer order) to the front —
+    because a scatter of tens of millions of rows serializes on TPU while a
+    sort runs at full throughput."""
+    W = sc.words.shape[1]
+    N = sc.is_start.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(sc.is_start, idx, idx + jnp.int32(N))
+    ops = (key,) + tuple(sc.words[:, w] for w in range(W)) + (sc.counts,)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    take = min(cap, N)
+    ones = jnp.uint32(0xFFFFFFFF)
+    keep = out[0][:take] < jnp.int32(N)
+    cols = []
+    for w in range(W):
+        col = jnp.where(keep, out[1 + w][:take], ones)
+        if take < cap:
+            col = jnp.concatenate([col, jnp.full(cap - take, ones, jnp.uint32)])
+        cols.append(col)
+    wts = jnp.where(keep, out[W + 1][:take], 0)
+    if take < cap:
+        wts = jnp.concatenate([wts, jnp.zeros(cap - take, jnp.int32)])
+    return tuple(cols), wts
+
+
+@partial(jax.jit, static_argnames=("k", "m", "B"))
+def _stack_with_bins(cols: tuple, wts: jnp.ndarray, k: int, m: int, B: int) -> jnp.ndarray:
+    """[cap] cols + weights -> one [cap, W+2] uint32 matrix (words, count,
+    bin) so the host pull is a single contiguous transfer."""
+    from .ops import binhash
+
+    words = jnp.stack(cols, axis=1)
+    bins = binhash.bins_from_words(words, k, m, B)
+    return jnp.concatenate(
+        [words, wts.astype(jnp.uint32)[:, None], bins.astype(jnp.uint32)[:, None]], axis=1
+    )
+
+
+class DeviceAccumulator:
+    """Device-resident cross-batch merging.
+
+    The Spark reference merges partials through the JVM shuffle; the naive
+    TPU translation (pull every batch's table to the host, numpy-merge at
+    the end) drowns in D2H — through a remote-device tunnel it is ~100x the
+    device time.  This accumulator keeps per-batch unique tables ON DEVICE
+    in 'merge row' form, periodically collapse-merges them with one weighted
+    device sort, stream-compacts to the distinct-k-mer count, and pulls ONE
+    stacked (words, count, bin) matrix at the end.
+    """
+
+    def __init__(
+        self,
+        k: int,
+        fanin: int = 8,
+        max_device_rows: int = 192_000_000,
+        m: int = 10,
+        B: int = 512,
+    ):
+        self.k = k
+        self.W = num_words(k)
+        self.m = m
+        self.B = B
+        self.fanin = fanin
+        self.max_device_rows = max_device_rows
+        self.parts: list = []  # (cols tuple, weights) on device
+        self.rows = 0
+        self.host_spills: list = []  # (words, counts) np arrays
+
+    def add(self, sc: count_sort.SortedCounts) -> None:
+        cols, wts = _to_merge_rows(sc)
+        self.parts.append((cols, wts))
+        self.rows += int(wts.shape[0])
+        if len(self.parts) >= self.fanin:
+            self._collapse(spill=self.rows > self.max_device_rows)
+
+    def _collapse(self, spill: bool = False) -> None:
+        if not self.parts:
+            return
+        if len(self.parts) == 1:
+            cols, wts = self.parts[0]
+        else:
+            cols = tuple(
+                jnp.concatenate([p[0][w] for p in self.parts]) for w in range(self.W)
+            )
+            wts = jnp.concatenate([p[1] for p in self.parts])
+        sc, n_u = _merge_rows(cols, wts)
+        n_unique = int(np.asarray(n_u))  # one scalar transfer
+        cap = 1 << max(10, (max(n_unique, 1) - 1).bit_length())
+        ccols, cwts = _compact_rows(sc, cap)
+        if spill:
+            stacked = _stack_with_bins(ccols, cwts, self.k, self.m, self.B)
+            table = np.asarray(stacked[:n_unique])  # ONE device-to-host transfer
+            self.host_spills.append(
+                (
+                    table[:, : self.W],
+                    table[:, self.W].astype(np.int64),
+                    table[:, self.W + 1].astype(np.int32),
+                )
+            )
+            self.parts = []
+            self.rows = 0
+        else:
+            self.parts = [(ccols, cwts)]
+            self.rows = cap
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (unique words [U, W] ascending, counts [U], bins [U]) on host."""
+        self._collapse(spill=True)
+        if not self.host_spills:
+            return (
+                np.zeros((0, self.W), np.uint32),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int32),
+            )
+        if len(self.host_spills) == 1:
+            return self.host_spills[0]
+        return merge_partials(self.host_spills, self.W)
+
+
 def _compact(sc: count_sort.SortedCounts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Device SortedCounts -> host (unique words, counts, bins)."""
     is_start = np.asarray(sc.is_start)
@@ -135,6 +280,7 @@ def count_batches(
     timer: StageTimer | None = None,
     engine: str = "sort",
     checkpointer=None,
+    device_accumulate: bool | None = None,
 ) -> CountResult:
     timer = timer or StageTimer()
     parts = []
@@ -146,6 +292,18 @@ def count_batches(
         skip = checkpointer.completed_batches()
         parts.extend(checkpointer.load_parts())
     use_pallas = engine == "sort" and pallas_count_available(k)
+    if device_accumulate is None:
+        device_accumulate = (
+            checkpointer is None
+            and engine == "sort"
+            and count_sort.sentinel_safe_for(k)
+            and jax.default_backend() != "cpu"
+        )
+    device_accumulate = (
+        device_accumulate and engine == "sort" and count_sort.sentinel_safe_for(k)
+        and checkpointer is None
+    )
+    acc = DeviceAccumulator(k, m=m, B=B) if device_accumulate else None
     for batch_idx, (codes, nr, nb) in enumerate(batches):
         if batch_idx < skip:  # already counted before the interruption
             n_reads += nr
@@ -164,16 +322,21 @@ def count_batches(
                 sc = _batch_count_pallas(jnp.asarray(codes), k, m, B)
             else:
                 sc = _batch_count(jnp.asarray(codes), k, m, B)
-            jax.block_until_ready(sc.counts)
-        with timer.span("host_compact"):
-            part = _compact(sc)
-            parts.append(part)
-            if checkpointer is not None:
-                checkpointer.save_batch(batch_idx, *part)
+        if acc is not None:
+            with timer.span("device_merge"):
+                acc.add(sc)
+        else:
+            with timer.span("host_compact"):
+                part = _compact(sc)
+                parts.append(part)
+                if checkpointer is not None:
+                    checkpointer.save_batch(batch_idx, *part)
         n_reads += nr
         n_bases += nb
     with timer.span("merge"):
-        if parts:
+        if acc is not None:
+            words, counts, bins = acc.finalize()
+        elif parts:
             words, counts, bins = merge_partials(parts, W)
         else:
             words = np.zeros((0, W), np.uint32)

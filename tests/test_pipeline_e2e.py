@@ -133,3 +133,35 @@ def test_e2e_k_multiple_of_16_all_T_vs_sentinel(tmp_path):
     assert result_as_dict(res, 32) == dict(expect)
     # all-T canonical is all-A (RC): check explicitly
     assert "A" * 32 in result_as_dict(res, 32)
+
+
+def test_device_accumulator_matches_host_merge(tmp_path, small_reads):
+    """Forced device-resident accumulation must equal the host-merge path."""
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.ingest import batch as batching
+
+    fa = str(tmp_path / "reads.fa")
+    write_fasta(fa, small_reads)
+    k, m, B = 28, 10, 64
+
+    def run(dev_acc):
+        batches = batching.batch_file(fa, 0, k, 16, 256)
+        return pipeline.count_batches(batches, k, m, B, device_accumulate=dev_acc)
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_array_equal(a.words, b.words)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    np.testing.assert_array_equal(a.bins, b.bins)
+    assert a.n_instances == b.n_instances
+
+    # tiny fan-in to force multiple collapse rounds
+    acc = pipeline.DeviceAccumulator(k, fanin=2, m=m, B=B)
+    import jax.numpy as jnp
+
+    for codes, _, _ in batching.batch_file(fa, 0, k, 8, 256):
+        acc.add(pipeline._batch_count(jnp.asarray(codes), k, m, B))
+    words, counts, bins = acc.finalize()
+    np.testing.assert_array_equal(words, a.words)
+    np.testing.assert_array_equal(counts, a.counts)
+    np.testing.assert_array_equal(bins, a.bins)

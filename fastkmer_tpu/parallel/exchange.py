@@ -73,21 +73,18 @@ def route_by_owner(owner, valid, cols: tuple, n: int, cap: int):
 
     hist = jnp.bincount(skey, length=n + 1)[:n].astype(jnp.int32)
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hist)[:-1]])
-    idx = jnp.arange(N, dtype=jnp.int32)
-    in_range = skey < n
-    rank = idx - offsets[jnp.clip(skey, 0, n - 1)]
-    ok = in_range & (rank < cap)
-    slot = jnp.where(ok, jnp.clip(skey, 0, n - 1) * cap + rank, n * cap)  # overflow -> trash row
 
-    routed = tuple(
-        jnp.zeros(n * cap + 1, c.dtype).at[slot].set(c, mode="drop")[:-1] for c in scols
-    )
-    buf_ok = (
-        jnp.zeros(n * cap + 1, jnp.uint32)
-        .at[slot]
-        .set(jnp.where(ok, jnp.uint32(1), jnp.uint32(0)), mode="drop")[:-1]
-    )
-    n_dropped = jnp.sum((in_range & ~ok).astype(jnp.int32))
+    # gather formulation (a scatter here would serialize on TPU): output
+    # slot s = (dest d, rank r) pulls sorted row offsets[d] + r when r is
+    # within d's group
+    slot = jnp.arange(n * cap, dtype=jnp.int32)
+    d = slot // cap
+    r = slot % cap
+    src = jnp.clip(offsets[d] + r, 0, N - 1)
+    ok = r < hist[d]
+    routed = tuple(jnp.where(ok, c[src], jnp.zeros((), c.dtype)) for c in scols)
+    buf_ok = jnp.where(ok, jnp.uint32(1), jnp.uint32(0))
+    n_dropped = jnp.sum(jnp.maximum(hist - cap, 0))
     return routed, buf_ok, n_dropped
 
 

@@ -1,0 +1,62 @@
+"""Streaming distributed counter: multi-batch feed over the 8-device mesh
+must equal the oracle; overflow must be detected."""
+
+import numpy as np
+import pytest
+
+from fastkmer_tpu.core import bits
+
+from . import oracles
+from .test_extract import random_reads, to_batch
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    from fastkmer_tpu.parallel import exchange
+
+    return jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+
+
+def test_streaming_counter_matches_oracle(mesh8):
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(17)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14,
+        owner_map=partitioner.hash_owner_map(B, 8),
+    )
+    for batch in range(3):
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    words, counts, bins = ctr.finalize()
+
+    expect = oracles.count_reads(all_reads, k)
+    kmers = bits.decode_words_batch(words, k)
+    got = {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
+    assert got == dict(expect)
+    assert ctr.n_reads == 96
+
+    # bins match the binned oracle
+    norm = bits.fill_norm(m)
+    for km, b in zip(kmers, bins.tolist()):
+        sig = oracles.signature(km.decode(), m, norm)
+        assert b == bits.hash_to_bucket(sig, B)
+
+
+def test_streaming_counter_overflow_detected(mesh8):
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(18)
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=32,  # absurdly small accumulator
+        owner_map=partitioner.hash_owner_map(B, 8),
+    )
+    ctr.feed(to_batch(random_reads(rng, 32, 100), 100))
+    with pytest.raises(RuntimeError, match="accumulator overflow"):
+        ctr.finalize()

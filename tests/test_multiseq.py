@@ -117,3 +117,41 @@ def test_multiseq_job_matches_oracle(tmp_path, measure_name):
     dist_file = json.load(open(os.path.join(cfg.output_dir, "distances.json")))
     assert dist_file["measure"] == measure.name
     assert len(dist_file["distances"]) == n_pairs
+
+
+def test_multiseq_distributed_matches_single(tmp_path):
+    """Distributed multiseq over the 8-device mesh == single-chip result."""
+    import jax
+
+    from fastkmer_tpu.multiseq.distributed import execute_multiseq_job_distributed
+    from fastkmer_tpu.multiseq.pipeline import MultiseqConfig, execute_multiseq_job
+    from fastkmer_tpu.parallel import exchange
+
+    rng = np.random.default_rng(23)
+
+    def mk_reads(n, L):
+        return ["".join(rng.choice(list("ACGTACGTN"), size=L)) for _ in range(n)]
+
+    seqs_reads = {"s1": mk_reads(8, 90), "s2": mk_reads(6, 80)}
+    fa = str(tmp_path / "m.fa")
+    write_multi_fasta(fa, seqs_reads)
+
+    cfg = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/a_", k=18, m=6, max_b=32,
+        reads_per_batch=8, read_len=128,
+    )
+    single = execute_multiseq_job(cfg, verbose=False)
+
+    mesh = jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+    cfg2 = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/b_", k=18, m=6, max_b=32,
+        reads_per_batch=8, read_len=128,
+    )
+    dist = execute_multiseq_job_distributed(cfg2, mesh, verbose=False)
+
+    np.testing.assert_array_equal(single.words, dist.words)
+    np.testing.assert_array_equal(single.seqs, dist.seqs)
+    np.testing.assert_array_equal(single.counts, dist.counts)
+    np.testing.assert_array_equal(single.bins, dist.bins)
+    assert single.distances == dist.distances
+    assert single.sequence_names == dist.sequence_names

@@ -31,15 +31,17 @@ def main() -> None:
 
     from fastkmer_tpu import pipeline  # noqa: F401  (also enables the XLA cache)
 
-    batch_fn = (
-        pipeline._batch_count_pallas if pipeline.pallas_count_available(K) else pipeline._batch_count
-    )
+    use_pallas = pipeline.pallas_count_available(K)
 
     @jax.jit
     def step(codes):
-        # return the FULL count tables (anything less lets XLA dead-code
-        # real work and inflates the number); sync fetches scalars only
-        return batch_fn(codes, K, M, B)
+        # The per-batch production step: unique k-mers + counts (bins are
+        # computed once at finalize in the streaming pipeline, not per
+        # batch).  Returns the FULL tables — anything less lets XLA
+        # dead-code real work and inflates the number.
+        if use_pallas:
+            return pipeline._batch_count_pallas(codes, K, M, B, with_bins=False)
+        return pipeline._batch_count(codes, K, M, B)
 
     rng = np.random.default_rng(0)
     host = rng.integers(0, 4, size=(R, L)).astype(np.uint8)
@@ -51,6 +53,7 @@ def main() -> None:
         # Fetching the scalar + a tiny slice fences the whole step without
         # paying D2H for the full tables.
         return np.asarray(sc.n_valid), np.asarray(sc.counts[:8]), np.asarray(sc.words[:8])
+
 
     for _ in range(WARMUP):
         sync(step(codes))

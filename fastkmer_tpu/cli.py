@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reads-per-batch", type=int, default=512)
     p.add_argument("--read-len", type=int, default=4096)
     p.add_argument("--stats-json", default=None, help="write run summary JSON here")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="run distributed over this many devices (the spark-submit "
+                        "--num-executors analogue); 1 = single chip")
+    p.add_argument("--smer-transport", action="store_true",
+                   help="ship super-k-mer records through the all-to-all instead of k-mers")
     return p
 
 
@@ -77,13 +82,30 @@ def main(argv=None) -> int:
         read_len=args.read_len,
     )
 
+    mesh = None
+    if args.mesh > 1:
+        import jax
+
+        from .parallel import exchange
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            devs = jax.devices("cpu")
+        mesh = jax.make_mesh((args.mesh,), (exchange.AXIS,), devices=devs[: args.mesh])
+
     if args.multiseq:
         from .multiseq.pipeline import MultiseqConfig, execute_multiseq_job
 
         cfg = MultiseqConfig(**common, distance_measure=args.distance_measure)
-        res = execute_multiseq_job(cfg)
+        if mesh is not None:
+            from .multiseq.distributed import execute_multiseq_job_distributed
+
+            res = execute_multiseq_job_distributed(cfg, mesh)
+        else:
+            res = execute_multiseq_job(cfg)
         summary = {
             "mode": "multiseq",
+            "mesh": args.mesh,
             "n_instances": res.n_instances,
             "n_unique_kmer_seq": int(res.words.shape[0]),
             "sequences": res.sequence_names,
@@ -93,12 +115,21 @@ def main(argv=None) -> int:
         }
     else:
         from .config import JobConfig
-        from .pipeline import execute_job
 
         cfg = JobConfig(**common, use_ht=bool(args.useHT))
-        res = execute_job(cfg)
+        if mesh is not None:
+            from .parallel.driver import execute_job_distributed
+
+            res = execute_job_distributed(cfg, mesh, smer_transport=args.smer_transport)
+            extra = {"exchange_bytes": res.exchange_bytes, "balance": res.balance}
+        else:
+            from .pipeline import execute_job
+
+            res = execute_job(cfg)
+            extra = {}
         summary = {
             "mode": "count",
+            "mesh": args.mesh,
             "engine": "hash" if cfg.use_ht else "sort",
             "n_instances": res.n_instances,
             "n_unique": int(res.words.shape[0]),
@@ -106,6 +137,7 @@ def main(argv=None) -> int:
             "n_bases": res.n_bases,
             "output_dir": cfg.output_dir if cfg.write else None,
             "timings": res.timings,
+            **extra,
         }
 
     print(json.dumps(summary, indent=2))

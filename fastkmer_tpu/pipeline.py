@@ -60,15 +60,21 @@ def _batch_count(codes: jnp.ndarray, k: int, m: int, B: int) -> count_sort.Sorte
     return sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
 
 
-@partial(jax.jit, static_argnames=("k", "m", "B"))
-def _batch_count_pallas(codes: jnp.ndarray, k: int, m: int, B: int) -> count_sort.SortedCounts:
+@partial(jax.jit, static_argnames=("k", "m", "B", "with_bins"))
+def _batch_count_pallas(
+    codes: jnp.ndarray, k: int, m: int, B: int, with_bins: bool = True
+) -> count_sort.SortedCounts:
     """TPU fast path: fused Pallas stage-1 emitting pre-sentineled sort keys
-    directly (k <= 32, k % 16 != 0)."""
+    directly (k <= 32, k % 16 != 0).  ``with_bins=False`` defers the bin
+    recomputation — the device accumulator computes bins once at finalize,
+    so the per-batch pass is pure keys."""
     from .ops import binhash, pallas_extract
 
     cols = pallas_extract.extract_pallas_sentinel(codes, k, m, B)
     sc = count_sort.count_presentineled(cols)
-    return sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
+    if with_bins:
+        sc = sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
+    return sc
 
 
 def pallas_count_available(k: int) -> bool:
@@ -319,7 +325,9 @@ def count_batches(
                         "64-bit fingerprint collision; re-run with the sort engine"
                     )
             elif use_pallas:
-                sc = _batch_count_pallas(jnp.asarray(codes), k, m, B)
+                sc = _batch_count_pallas(
+                    jnp.asarray(codes), k, m, B, with_bins=acc is None
+                )
             else:
                 sc = _batch_count(jnp.asarray(codes), k, m, B)
         if acc is not None:

@@ -46,3 +46,22 @@ def test_cli_multiseq(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_cli_mesh_distributed(tmp_path):
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGT"), size=150)) for _ in range(24)]
+    fa = str(tmp_path / "in.fa")
+    write_fasta(fa, reads)
+    stats = str(tmp_path / "stats.json")
+    rc = cli.main(
+        [
+            "28", "10", "3", "64", "0", "0", fa, str(tmp_path) + "/", "",
+            "1", "0", "0",
+            "--platform", "cpu", "--mesh", "8", "--reads-per-batch", "8",
+            "--read-len", "256", "--stats-json", stats,
+        ]
+    )
+    assert rc == 0
+    s = json.load(open(stats))
+    assert s["mesh"] == 8 and s["n_reads"] == 24 and "exchange_bytes" in s

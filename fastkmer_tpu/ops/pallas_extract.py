@@ -32,7 +32,7 @@ _U = jnp.uint32
 
 
 def supported(k: int) -> bool:
-    return k <= 32
+    return k <= 64
 
 
 _I = jnp.int32
@@ -78,17 +78,18 @@ def _hash_to_bucket(s, B):
 
 
 def _mk_kernel(k: int, m: int, B: int, L: int, mode: str = "full"):
-    """mode="full": emit (w0, w1, bins, sigs, valid).  mode="count": emit
-    only (w0, w1) with invalid positions rewritten to the all-ones sentinel
-    (requires k % 16 != 0) — the exact input the sentinel-safe sort wants,
-    saving three [R, L] output streams and the sort-side rewrite passes."""
+    """mode="full": emit (word cols..., bins, sigs, valid).  mode="count":
+    emit only the W word columns with invalid positions rewritten to the
+    all-ones sentinel (requires k % 16 != 0) — the exact input the
+    sentinel-safe sort wants, saving three [R, L] output streams and the
+    sort-side rewrite passes.  Supports k <= 64 (W <= 4)."""
     W = num_words(k)
 
     def roll_back(x, s):
         # value at [i] becomes x[i+s] (left shift with wraparound)
         return pltpu.roll(x, (L - s) % L, axis=1) if s % L else x
 
-    def kernel(codes_ref, w0_ref, w1_ref, *rest_refs):
+    def kernel(codes_ref, *out_refs):
         ci = codes_ref[:].astype(_I)  # [TR, L] (signed ops only)
         badv = jnp.where(ci >= 4, _I(1), _I(0))
         b2 = _as_u(ci) & _U(3)
@@ -143,33 +144,38 @@ def _mk_kernel(k: int, m: int, B: int, L: int, mode: str = "full"):
         lane = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
         valid = (anybad == 0) & (lane <= L - k)
 
-        # --- canonical packed words ---
+        # --- canonical packed words (general W <= 4) ---
         rem = k - 16 * (W - 1)
         himask = _U(0xFFFFFFFF ^ ((1 << (2 * (16 - rem))) - 1)) if rem < 16 else _U(0xFFFFFFFF)
         lomask = _U((1 << (2 * rem)) - 1)
-        if W == 1:
-            f0 = p16 & himask
-            r0 = (r16 & lomask) << _U(2 * (16 - rem)) if rem < 16 else r16
-            lt = _ult(r0, f0)
-            w0 = jnp.where(lt, r0, f0)
-            w1 = jnp.zeros_like(w0)
-        else:  # W == 2
-            f0 = p16
-            f1 = roll_back(p16, 16) & himask
-            r0 = roll_back(r16, k - 16)
-            r1 = (r16 & lomask) << _U(2 * (16 - rem)) if rem < 16 else r16
-            lt = _ult(r0, f0) | ((r0 == f0) & _ult(r1, f1))
-            w0 = jnp.where(lt, r0, f0)
-            w1 = jnp.where(lt, r1, f1)
+        fwd = []
+        rc = []
+        for wdx in range(W):
+            if wdx < W - 1 or rem == 16:
+                fwd.append(roll_back(p16, 16 * wdx))
+            else:
+                fwd.append(roll_back(p16, 16 * wdx) & himask)
+            if wdx < W - 1 or rem == 16:
+                rc.append(roll_back(r16, k - 16 * (wdx + 1)))
+            else:
+                rc.append((r16 & lomask) << _U(2 * (16 - rem)))
+        use_rc = jnp.zeros_like(valid)
+        decided = jnp.zeros_like(valid)
+        for wdx in range(W):
+            lt = _ult(rc[wdx], fwd[wdx])
+            gt = _ult(fwd[wdx], rc[wdx])
+            use_rc = use_rc | (~decided & lt)
+            decided = decided | lt | gt
+        words = [jnp.where(use_rc, rc[wdx], fwd[wdx]) for wdx in range(W)]
 
         if mode == "count":
             ones = _U(0xFFFFFFFF)
-            w0_ref[:] = jnp.where(valid, w0, ones)
-            w1_ref[:] = jnp.where(valid, w1, ones)
+            for wdx in range(W):
+                out_refs[wdx][:] = jnp.where(valid, words[wdx], ones)
         else:
-            bins_ref, sigs_ref, valid_ref = rest_refs
-            w0_ref[:] = w0
-            w1_ref[:] = w1
+            for wdx in range(W):
+                out_refs[wdx][:] = words[wdx]
+            bins_ref, sigs_ref, valid_ref = out_refs[W:]
             bins_ref[:] = _hash_to_bucket(sig, B)
             sigs_ref[:] = sig
             valid_ref[:] = jnp.where(valid, _U(1), _U(0))
@@ -192,29 +198,25 @@ def extract_pallas(
     def bspec(dtype=None):
         return pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    w0, w1, bins, sigs, valid = pl.pallas_call(
+    W = num_words(k)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[bspec()],
-        out_specs=tuple(bspec() for _ in range(5)),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
-            jax.ShapeDtypeStruct((R, L), jnp.int32),
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
+        out_specs=tuple(bspec() for _ in range(W + 3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((R, L), jnp.int32 if i == W else jnp.uint32)
+            for i in range(W + 3)
         ),
         interpret=interpret,
     )(codes)
+    word_arrs = outs[:W]
+    bins, sigs, valid = outs[W], outs[W + 1], outs[W + 2]
 
     P = L - k + 1
     n = R * P
-    W = num_words(k)
-    word_cols = [w0[:, :P].reshape(n)]
-    if W == 2:
-        word_cols.append(w1[:, :P].reshape(n))
     return Extracted(
-        words=jnp.stack(word_cols, axis=1),
+        words=jnp.stack([wa[:, :P].reshape(n) for wa in word_arrs], axis=1),
         bins=bins[:, :P].reshape(n),
         sigs=sigs[:, :P].reshape(n),
         valid=valid[:, :P].reshape(n) == _U(1),
@@ -231,21 +233,16 @@ def extract_pallas_sentinel(
     R, L = codes.shape
     TR = min(block_rows, R)
     kernel = _mk_kernel(k, m, B, L, mode="count")
+    W = num_words(k)
     bspec = pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    w0, w1 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(R, TR),),
         in_specs=[bspec],
-        out_specs=(bspec, bspec),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
-        ),
+        out_specs=tuple(bspec for _ in range(W)),
+        out_shape=tuple(jax.ShapeDtypeStruct((R, L), jnp.uint32) for _ in range(W)),
         interpret=interpret,
     )(codes)
     P = L - k + 1
     n = R * P
-    cols = [w0[:, :P].reshape(n)]
-    if num_words(k) == 2:
-        cols.append(w1[:, :P].reshape(n))
-    return cols
+    return [wa[:, :P].reshape(n) for wa in outs]

@@ -8,7 +8,7 @@ import pytest
 from .test_extract import random_reads, to_batch
 
 
-@pytest.mark.parametrize("k,m", [(28, 10), (13, 4), (31, 8), (17, 6)])
+@pytest.mark.parametrize("k,m", [(28, 10), (13, 4), (31, 8), (17, 6), (33, 7), (55, 9), (64, 11)])
 def test_pallas_extract_parity(k, m):
     import jax
     import jax.numpy as jnp
@@ -29,7 +29,7 @@ def test_pallas_extract_parity(k, m):
     np.testing.assert_array_equal(np.asarray(a.bins)[va], np.asarray(b.bins)[va])
 
 
-@pytest.mark.parametrize("k,m", [(28, 10), (13, 4)])
+@pytest.mark.parametrize("k,m", [(28, 10), (13, 4), (45, 8)])
 def test_pallas_sentinel_count_parity(k, m):
     """Count-mode kernel + count_presentineled == full jnp count path."""
     import jax

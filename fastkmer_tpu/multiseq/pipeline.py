@@ -164,7 +164,7 @@ def execute_multiseq_job(cfg: MultiseqConfig, verbose: bool = True) -> MultiseqR
     row = 0
     from ..core import bits as bmod
 
-    def flush(row):
+    def flush():
         with timer.span("device_count"):
             sc = _batch_count_seq(jnp.asarray(buf), jnp.asarray(sid), cfg.k, cfg.m, cfg.b)
         with timer.span("host_compact"):
@@ -178,12 +178,12 @@ def execute_multiseq_job(cfg: MultiseqConfig, verbose: bool = True) -> MultiseqR
             row += 1
             n_rows += 1
             if row == R:
-                flush(row)
+                flush()
                 buf.fill(4)
                 sid.fill(0)
                 row = 0
         if row:
-            flush(row)
+            flush()
 
     with timer.span("merge"):
         if parts:

@@ -48,11 +48,11 @@ class Extracted(NamedTuple):
     valid: jnp.ndarray
 
 
-def canonical_words(codes2: jnp.ndarray, bad: jnp.ndarray, k: int) -> tuple:
+def canonical_words(codes2: jnp.ndarray, k: int) -> tuple:
     """Packed forward & RC words for every window start; returns (fwd, rc)
     lists of [R, P] uint32 arrays, P = positions count.
 
-    codes2/bad must already be padded so indices up to P-1 + 16*W - 1 exist.
+    codes2 must already be padded so indices up to P-1 + 16*W - 1 exist.
     """
     W = num_words(k)
     rem = k - BASES_PER_WORD * (W - 1)  # bases in last word, in [1, 16]
@@ -104,7 +104,7 @@ def extract(codes: jnp.ndarray, k: int, m: int, B: int) -> Extracted:
     bins = jbits.hash_to_bucket(sigs, B)  # [R, P] int32
 
     # --- canonical packed k-mers ---
-    fwd, rc = canonical_words(codes2, bad, k)
+    fwd, rc = canonical_words(codes2, k)
     fwd = [f[:, :P] for f in fwd]
     rc = [r[:, :P] for r in rc]
     use_rc = jnp.zeros((R, P), dtype=bool)

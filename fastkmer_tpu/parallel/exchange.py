@@ -19,8 +19,9 @@ Design (SURVEY.md §5 "Distributed communication backend"):
   psum'd dropped-entry count so the host can retry with a bigger ``cap``
   (the moral equivalent of Spark spilling, made explicit).
 
-Grouping entries for the send buffer is itself sort-based (sort by owner)
-so the whole step stays scatter-free except one unique-index write.
+Grouping entries for the send buffer is sort-based (sort by owner) and the
+send-slot placement is a gather, so the whole step is scatter-free — TPU
+scatters serialize.
 """
 
 from __future__ import annotations

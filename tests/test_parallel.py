@@ -106,3 +106,15 @@ def test_capacity_overflow_detected(mesh8):
     step = exchange.build_distributed_count(mesh8, k, m, B, cap=8, owner_map=owner_map)
     sc = step(exchange.shard_batch(mesh8, codes))
     assert int(sc.dropped) > 0  # tiny capacity must overflow and be reported
+
+
+def test_multihost_helpers_single_process():
+    from fastkmer_tpu.parallel import multihost
+
+    multihost.init_distributed()  # no-op in single process
+    mesh = multihost.init_global_mesh()
+    assert mesh.shape["data"] >= 1
+    lo, hi = multihost.host_stripe(10)
+    assert (lo, hi) == (0, 10)
+    assert list(multihost.stripe_batches(range(5), n_hosts=1, host_id=0)) == [0, 1, 2, 3, 4]
+    assert list(multihost.stripe_batches(range(5), n_hosts=2, host_id=1)) == [1, 3]

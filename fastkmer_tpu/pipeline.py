@@ -379,8 +379,12 @@ def execute_job(
     if verbose:
         print(cfg.describe())
     ckpt = manifest_mod.BatchCheckpointer(checkpoint_dir) if checkpoint_dir else None
-    batches = batching.batch_file(
-        cfg.dataset, cfg.sequence_type, cfg.k, cfg.reads_per_batch, cfg.read_len
+    from .ingest.prefetch import prefetched
+
+    batches = prefetched(
+        batching.batch_file(
+            cfg.dataset, cfg.sequence_type, cfg.k, cfg.reads_per_batch, cfg.read_len
+        )
     )
     engine = "hash" if cfg.use_ht else "sort"
     with maybe_profile(trace_dir):

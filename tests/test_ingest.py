@@ -105,3 +105,29 @@ class TestNative:
         assert starts.tolist() == [0, 6, 10]
         np.testing.assert_array_equal(codes[:6], bits.encode_ascii(b"ACGTNN"))
         np.testing.assert_array_equal(codes[6:10], bits.encode_ascii(b"GGCC"))
+
+
+def test_prefetched_iterator():
+    from fastkmer_tpu.ingest.prefetch import prefetched
+
+    assert list(prefetched(iter(range(10)), depth=2)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("parse error")
+
+    import pytest as _pytest
+
+    it = prefetched(boom())
+    assert next(it) == 1
+    with _pytest.raises(ValueError):
+        next(it)
+
+
+def test_memsize():
+    import numpy as np
+
+    from fastkmer_tpu.utils import memsize
+
+    assert memsize.nbytes({"a": np.zeros(10, np.uint32), "b": [np.zeros(2, np.uint8)]}) == 42
+    assert memsize.human(2048) == "2.0KB"

@@ -69,6 +69,19 @@ def build_distributed_count_seq(mesh: Mesh, k: int, m: int, B: int, cap: int,
     return lambda codes, seq_ids: jitted(codes, seq_ids, owner_arr)
 
 
+def _sequence_tag(header: str) -> str:
+    """Sequence name from a read header: the leading word-character run,
+    matching the reference's ``"(\\w+)."`` extraction
+    (SparkMultiSequenceKmerCounter.scala:61-62) — SRA-style reads
+    ``SRR197985.1``, ``SRR197985.2`` tag the same sequence ``SRR197985``.
+    Chunk suffixes (``#i``) from long-mode splitting are stripped first."""
+    import re as _re
+
+    head = header.split("#")[0]
+    mobj = _re.match(r"(\w+)", head)
+    return mobj.group(1) if mobj else head.split()[0]
+
+
 def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
                                      verbose: bool = True):
     """Multi-chip execute_multiseq_job (same MultiseqConfig / result type)."""
@@ -114,7 +127,7 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
 
     with timer.span("count"):
         for name, seq in fasta.iter_reads(cfg.dataset, cfg.sequence_type, cfg.k, L):
-            base_name = name.split("#")[0].split()[0]
+            base_name = _sequence_tag(name)
             if base_name not in name_to_id:
                 name_to_id[base_name] = len(seq_names)
                 seq_names.append(base_name)

@@ -155,3 +155,21 @@ def test_multiseq_distributed_matches_single(tmp_path):
     np.testing.assert_array_equal(single.bins, dist.bins)
     assert single.distances == dist.distances
     assert single.sequence_names == dist.sequence_names
+
+
+def test_sra_accession_tagging(tmp_path):
+    """SRR197985.1 / SRR197985.2 reads tag ONE sequence SRR197985 — the
+    reference's "(\\w+)." header extraction (README.md sequences.fasta)."""
+    from fastkmer_tpu.multiseq.pipeline import MultiseqConfig, execute_multiseq_job
+
+    fa = str(tmp_path / "sra.fa")
+    with open(fa, "w") as f:
+        f.write(">SRR197985.1 HWUSI len=20\nACGTACGTACGTACGTACGT\n")
+        f.write(">SRR956987.1 HWI len=20\nTTTTGGGGCCCCAAAATTTT\n")
+        f.write(">SRR197985.2 HWUSI len=20\nACGTACGTACGTACGTACGT\n")
+    cfg = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=8, m=4, max_b=16,
+        reads_per_batch=4, read_len=64, write=False,
+    )
+    res = execute_multiseq_job(cfg, verbose=False)
+    assert res.sequence_names == ["SRR197985", "SRR956987"]

@@ -211,6 +211,18 @@ class DeviceAccumulator:
                 jnp.concatenate([p[0][w] for p in self.parts]) for w in range(self.W)
             )
             wts = jnp.concatenate([p[1] for p in self.parts])
+        # canonicalize the merge shape to the next power of two (sentinel
+        # padding): every distinct input size would otherwise trigger a
+        # fresh XLA compile, which dominates cold starts through the
+        # remote-compile hop
+        n_rows = wts.shape[0]
+        cap_in = 1 << max(10, (n_rows - 1).bit_length())
+        if cap_in != n_rows:
+            pad = cap_in - n_rows
+            cols = tuple(
+                jnp.concatenate([c, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]) for c in cols
+            )
+            wts = jnp.concatenate([wts, jnp.zeros(pad, jnp.int32)])
         sc, n_u = _merge_rows(cols, wts)
         n_unique = int(np.asarray(n_u))  # one scalar transfer
         cap = 1 << max(10, (max(n_unique, 1) - 1).bit_length())

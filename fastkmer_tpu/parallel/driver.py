@@ -5,9 +5,11 @@ SparkBinKmerCounter.scala:989-1046): streams file batches through the
 all-to-all exchange, with the optional LPT pre-pass
 (useCustomPartitioner, :1023-1026) run on a sample of batches first.
 
-Per-chip partial tables accumulate host-side per chip (bins are chip-owned,
-so cross-chip merging is never needed — the property the Spark shuffle
-provided) and merge once at the end.
+Default path: per-chip tables stay DEVICE-RESIDENT across batches
+(parallel.stream.DistributedCounter) and are pulled once at the end — the
+TPU analogue of Spark's reduce-side aggregation state.  The per-batch
+host-compaction path remains for super-k-mer transport and k % 16 == 0
+(where the all-ones sort sentinel is unavailable).
 """
 
 from __future__ import annotations
@@ -20,9 +22,10 @@ from jax.sharding import Mesh
 from ..config import JobConfig
 from ..core.bits import num_words
 from ..ingest import batch as batching
+from ..ops import count_sort
 from ..output import writer
 from ..utils.timing import StageTimer
-from . import exchange, partitioner
+from . import exchange, partitioner, stream
 
 
 class DistributedResult(NamedTuple):
@@ -38,6 +41,20 @@ class DistributedResult(NamedTuple):
     timings: dict
 
 
+def _write_output(cfg: JobConfig, words, counts, bins) -> None:
+    """Per-bin files + the recovery manifest — same artifacts as the
+    single-chip path (pipeline.execute_job), so verify_output/repair work
+    identically on distributed runs."""
+    from .. import pipeline as base
+    from ..output import manifest as manifest_mod
+
+    writer.write_bin_files(cfg.output_dir, words, counts, bins, cfg.k,
+                           eof_sentinel=not cfg.use_ht)
+    manifest_mod.write_manifest(
+        cfg.output_dir, base.dataclasses_dict(cfg), words, counts, bins
+    )
+
+
 def execute_job_distributed(
     cfg: JobConfig,
     mesh: Mesh,
@@ -45,6 +62,9 @@ def execute_job_distributed(
     smer_transport: bool = False,
     smax: int = 64,
     verbose: bool = True,
+    streaming: bool | None = None,
+    acc_cap: int | None = None,
+    fanin: int = 4,
 ) -> DistributedResult:
     timer = StageTimer()
     n = mesh.shape[exchange.AXIS]
@@ -69,14 +89,43 @@ def execute_job_distributed(
                 if i % take == 0:  # deterministic 1-in-take sampling
                     hist += np.asarray(est(exchange.shard_batch(mesh, codes)), dtype=np.int64)
         owner_map = partitioner.lpt_owner_map(hist, n, cfg.b)
+        balance = partitioner.balance_stats(hist, owner_map, n)
     else:
         owner_map = partitioner.hash_owner_map(cfg.b, n)
-    balance = partitioner.balance_stats(hist, owner_map, n)
+        balance = {"sampled": False}  # no histogram on the hash-owner path
 
     # --- capacity: worst-case per-(src,dst) entries unless caller sized it ---
     positions = (R // n) * (L - cfg.k + 1)
     if cap is None:
         cap = positions if not smer_transport else (positions + 1)
+
+    if streaming is None:
+        streaming = not smer_transport and count_sort.sentinel_safe_for(cfg.k)
+    if streaming:
+        if acc_cap is None:
+            # room for ~2 batches of all-distinct k-mers per chip before a
+            # host spill; pow2 keeps the merge compile set bounded
+            acc_cap = 1 << max(14, (2 * n * positions - 1).bit_length())
+        ctr = stream.DistributedCounter(
+            mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap,
+            owner_map=owner_map, fanin=fanin,
+        )
+        n_steps = 0
+        for codes, nr, nb in batches():
+            with timer.span("device_step"):
+                ctr.feed(codes, n_reads=nr, n_bases=nb)
+            n_steps += 1
+        with timer.span("merge"):
+            words, counts, bins = ctr.finalize()
+        if cfg.write:
+            with timer.span("write_output"):
+                _write_output(cfg, words, counts, bins)
+        xbytes = n_steps * exchange.exchange_bytes_per_step(n, cap, cfg.k, None)
+        return DistributedResult(
+            words, counts, bins, int(counts.sum()), ctr.n_bases, ctr.n_reads,
+            owner_map, balance, xbytes, timer.as_dict(),
+        )
+
     if smer_transport:
         step = exchange.build_distributed_count_smer(
             mesh, cfg.k, cfg.m, cfg.b, cap, smax, owner_map
@@ -122,7 +171,7 @@ def execute_job_distributed(
 
     if cfg.write:
         with timer.span("write_output"):
-            writer.write_bin_files(cfg.output_dir, words, counts, bins, cfg.k)
+            _write_output(cfg, words, counts, bins)
 
     xbytes = n_steps * exchange.exchange_bytes_per_step(
         n, cap, cfg.k, smax if smer_transport else None

@@ -1,22 +1,41 @@
 """Streaming distributed counter with per-chip device-resident tables.
 
-parallel.driver pulls every batch's per-chip table to the host; across a
-remote-device link (and even over PCIe at scale) that is the wrong shape.
-This module keeps a per-chip accumulator table INSIDE the jitted step:
+parallel.driver's simple path pulls every batch's per-chip table to the
+host; across a remote-device link (and even over PCIe at scale) that is the
+wrong shape.  This module keeps all cross-batch state INSIDE the device:
 
-    step(codes, owner_tab, acc) -> acc'
-      chip-local: extract -> route -> all_to_all      (as exchange.py)
-      then ONE weighted sentinel-sort merges the received k-mer instances
-      (weight 1) with the chip's accumulated unique table (weight = count),
-      stream-compacts to the accumulator capacity, and returns it.
+  per batch   exchange_step(codes, owner_tab) ->
+                extract -> route -> all_to_all          (as exchange.py)
+                -> searchsorted-compact the received rows to [rcap]
+              (NO sort-count per batch; the compacted rows are buffered
+              on device — "pending" parts)
 
-The host only ever moves scalars per batch (overflow/unique counters) and
-pulls each chip's final stacked (words, count, bin) table once at the end —
-the device-resident analogue of Spark's reduce-side state.
+  every ``fanin`` batches (or when the accumulator budget forces it)
+              merge_step(parts..., acc) ->
+                ONE weighted sentinel-sort over (pending rows, accumulated
+                uniques) + run-length count + searchsorted-compaction back
+                to the [acc_cap] accumulator
+
+This is the device analogue of the reference's reduce-side state (Spark
+shuffle files + ``reduceByKey`` aggregation buffers,
+SparkBinKmerCounter.scala:1035): sorted-run merging instead of a JVM heap.
+Batching ``fanin`` exchanges per merge amortizes the big sort exactly like
+the reference amortizes its per-bin quicksort over a whole partition.
+
+The host only ever moves scalars (overflow counters, at merge boundaries at
+most) and pulls each chip's final stacked (words, count, bin) table once at
+the end — or, when the distinct-k-mer count outgrows ``acc_cap``, spills
+the accumulator to the host at a merge boundary and keeps going, so any
+genome fits regardless of the device budget.
 
 Fixed capacities (TPU has no dynamic shapes): ``cap`` bounds per-(src,dst)
-exchange lanes, ``acc_cap`` bounds distinct k-mers per chip; both overflow
-DETECTED via psum'd counters, never silent.
+exchange lanes, ``rcap`` bounds received rows per chip per batch,
+``acc_cap`` bounds distinct k-mers held per chip; all overflow is DETECTED
+via psum'd counters, never silent.
+
+Compaction here is never a scatter (TPU scatters serialize) and never a
+second full sort: the j-th kept row is located with a binary search on the
+running count of kept rows (cumsum + searchsorted + gather).
 """
 
 from __future__ import annotations
@@ -34,6 +53,7 @@ from ..ops import binhash, count_sort, extract
 from . import exchange
 
 AXIS = exchange.AXIS
+_ONES = jnp.uint32(0xFFFFFFFF)
 
 
 class AccState(NamedTuple):
@@ -44,21 +64,38 @@ class AccState(NamedTuple):
     overflow: jnp.ndarray  # [] int32 cumulative accumulator overflow
 
 
+compact_by_mask = count_sort.compact_by_mask
+
+
 class DistributedCounter:
-    """Multi-batch streaming counter over a 1-D mesh (k % 16 != 0)."""
+    """Multi-batch streaming counter over a 1-D mesh (k % 16 != 0).
+
+    ``cap``      per-(src,dst) all_to_all lane capacity (k-mers).
+    ``rcap``     received-rows-per-chip-per-batch capacity (defaults to a
+                 power of two >= 2*cap — room for 2x bin skew).
+    ``acc_cap``  distinct k-mers held on each chip between host spills.
+    ``fanin``    exchanges buffered per merge sort.
+    """
 
     def __init__(self, mesh: Mesh, k: int, m: int, B: int, cap: int, acc_cap: int,
-                 owner_map: np.ndarray):
+                 owner_map: np.ndarray, fanin: int = 4, rcap: int | None = None):
         assert count_sort.sentinel_safe_for(k), "streaming counter needs k % 16 != 0"
         self.mesh = mesh
         self.k, self.m, self.B = k, m, B
         self.W = num_words(k)
         self.n = mesh.shape[AXIS]
         self.cap = cap
+        self.rcap = rcap or max(1 << (2 * cap - 1).bit_length(), 1024)
         self.acc_cap = acc_cap
+        self.fanin = fanin
         self.owner = np.asarray(owner_map, dtype=np.int32)
-        self._step = self._build_step()
+        self._exchange = self._build_exchange()
+        self._merge_cache: dict[int, callable] = {}
         self.state = self._init_state()
+        self.pending: list = []  # [(cols tuple [n, rcap], ndrop, roverflow)]
+        self.host_spills: list = []  # (words, counts, bins) np arrays
+        self._acc_ub = 0  # conservative upper bound on per-chip uniques
+        self._pend_ub = 0  # conservative upper bound on pending new uniques
         self.n_bases = 0
         self.n_reads = 0
 
@@ -74,101 +111,177 @@ class DistributedCounter:
             overflow=jax.device_put(np.int32(0), rep),
         )
 
-    def _build_step(self):
-        k, m, B, n, cap, acc_cap, W = (
-            self.k, self.m, self.B, self.n, self.cap, self.acc_cap, self.W,
+    # ------------------------------------------------------------------ #
+    # per-batch exchange: extract -> route -> all_to_all -> compact      #
+    # ------------------------------------------------------------------ #
+    def _build_exchange(self):
+        k, m, B, n, cap, rcap, W = (
+            self.k, self.m, self.B, self.n, self.cap, self.rcap, self.W,
         )
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(AXIS, None), P(), AccState(P(AXIS), P(AXIS), P(AXIS), P(), P())),
-            out_specs=AccState(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+            in_specs=(P(AXIS, None), P()),
+            out_specs=(tuple(P(AXIS) for _ in range(W)), P(), P()),
         )
-        def step(codes, owner_tab, acc: AccState) -> AccState:
+        def ex_step(codes, owner_tab):
             ex = extract.extract(codes, k, m, B)
             owner = owner_tab[ex.bins]
-            ones = jnp.uint32(0xFFFFFFFF)
-            cols = tuple(
-                jnp.where(ex.valid, ex.words[:, w], ones) for w in range(W)
-            )
+            cols = tuple(jnp.where(ex.valid, ex.words[:, w], _ONES) for w in range(W))
             routed, bok, ndrop = exchange.route_by_owner(owner, ex.valid, cols, n, cap)
             recv = [exchange._all_to_all(c) for c in routed] + [exchange._all_to_all(bok)]
             rok = recv[W] == jnp.uint32(1)
-            rcols = [jnp.where(rok, recv[w], ones) for w in range(W)]
-
-            # one weighted merge of (received instances, accumulated uniques)
-            aw = acc.words[0]  # [acc_cap, W] (leading mesh dim is local-1)
-            mcols = [
-                jnp.concatenate([rcols[w], aw[:, w]]) for w in range(W)
-            ]
-            wts = jnp.concatenate(
-                [jnp.where(rok, 1, 0).astype(jnp.int32), acc.wts[0]]
+            rcols = [jnp.where(rok, recv[w], _ONES) for w in range(W)]
+            ccols, n_recv = compact_by_mask(rok, rcols, rcap)
+            rover = jnp.maximum(n_recv - rcap, 0)
+            return (
+                tuple(c[None] for c in ccols),
+                jax.lax.psum(ndrop, AXIS),
+                jax.lax.psum(rover, AXIS),
             )
-            valid = mcols[W - 1] != ones
+
+        jitted = jax.jit(ex_step)
+        owner_arr = self.owner
+        return lambda codes: jitted(codes, owner_arr)
+
+    # ------------------------------------------------------------------ #
+    # merge: pending parts + accumulator -> accumulator                  #
+    # ------------------------------------------------------------------ #
+    def _build_merge(self, nparts: int):
+        n, acc_cap, rcap, W = self.n, self.acc_cap, self.rcap, self.W
+        n_rows = nparts * rcap + acc_cap
+        cap_in = 1 << max(10, (n_rows - 1).bit_length())
+        specs_part = tuple(tuple(P(AXIS) for _ in range(W)) for _ in range(nparts))
+        acc_spec = AccState(P(AXIS), P(AXIS), P(AXIS), P(), P())
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(specs_part, tuple(P() for _ in range(nparts)),
+                      tuple(P() for _ in range(nparts)), acc_spec),
+            out_specs=acc_spec,
+        )
+        def merge(parts, ndrops, rovers, acc: AccState) -> AccState:
+            pad = cap_in - n_rows
+            mcols = []
+            for w in range(W):
+                segs = [p[w][0] for p in parts] + [acc.words[0][:, w]]
+                if pad:
+                    segs.append(jnp.full(pad, _ONES, jnp.uint32))
+                mcols.append(jnp.concatenate(segs))
+            # received rows weigh 1, accumulated uniques weigh their count
+            part_valid = jnp.concatenate([p[W - 1][0] for p in parts]) != _ONES
+            wts = jnp.concatenate(
+                [part_valid.astype(jnp.int32), acc.wts[0]]
+                + ([jnp.zeros(pad, jnp.int32)] if pad else [])
+            )
+            valid = mcols[W - 1] != _ONES
             sc = count_sort.count_sorted(
                 jnp.stack(mcols, axis=1), None, valid, weights=wts, sentinel_safe=True
             )
-            n_u = jnp.sum(sc.is_start.astype(jnp.int32))
-
-            # stream-compact to acc_cap (sort on a monotone float-to-front key)
-            N = sc.is_start.shape[0]
-            idx = jnp.arange(N, dtype=jnp.int32)
-            key = jnp.where(sc.is_start, idx, idx + jnp.int32(N))
-            out = jax.lax.sort(
-                (key,) + tuple(sc.words[:, w] for w in range(W)) + (sc.counts,),
-                num_keys=1, is_stable=False,
-            )
-            keep = out[0][:acc_cap] < jnp.int32(N)
-            new_words = jnp.stack(
-                [jnp.where(keep, out[1 + w][:acc_cap], ones) for w in range(W)], axis=1
-            )
-            new_wts = jnp.where(keep, out[W + 1][:acc_cap], 0)
-
+            cols = [sc.words[:, w] for w in range(W)] + [sc.counts]
+            (outs, n_u) = compact_by_mask(sc.is_start, cols, acc_cap)
+            new_words = jnp.stack(outs[:W], axis=1)
             over = jnp.maximum(n_u - acc_cap, 0)
             return AccState(
                 words=new_words[None],
-                wts=new_wts[None],
+                wts=outs[W][None],
                 n_unique=jnp.minimum(n_u, acc_cap)[None],
-                dropped=acc.dropped + jax.lax.psum(ndrop, AXIS),
+                # ndrops/rovers are replicated psums already — no psum here
+                dropped=acc.dropped + sum(ndrops) + sum(rovers),
                 overflow=acc.overflow + jax.lax.psum(over, AXIS),
             )
 
-        jitted = jax.jit(step, donate_argnums=(2,))
-        owner_arr = self.owner
-        return lambda codes, acc: jitted(codes, owner_arr, acc)
+        return jax.jit(merge, donate_argnums=(3,))
+
+    def _merge_pending(self) -> None:
+        if not self.pending:
+            return
+        nparts = len(self.pending)
+        if nparts not in self._merge_cache:
+            self._merge_cache[nparts] = self._build_merge(nparts)
+        parts = tuple(p[0] for p in self.pending)
+        ndrops = tuple(p[1] for p in self.pending)
+        rovers = tuple(p[2] for p in self.pending)
+        self.state = self._merge_cache[nparts](parts, ndrops, rovers, self.state)
+        self.pending = []
+        self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
+        self._pend_ub = 0
+
+    def _ensure_room(self, incoming: int) -> None:
+        """Keep the next merge's unique-count bound within acc_cap, spilling
+        the accumulator to the host when it genuinely cannot absorb the
+        incoming batch.  Conservative bounds avoid device pulls entirely in
+        the common case; at most a few scalar pulls happen per spill."""
+        if self._acc_ub + self._pend_ub + incoming <= self.acc_cap:
+            return
+        stats = self._stats()  # exact occupancy before deciding to spill
+        self._acc_ub = max(stats["n_unique"], default=0)
+        while self._acc_ub + self._pend_ub + incoming > self.acc_cap:
+            if self._acc_ub > 0:
+                self._raise_if_lost(stats)
+                self.host_spills.extend(self._pull_tables(stats))
+                self.state = self._init_state()
+                self._acc_ub = 0
+            elif self.pending:
+                self._merge_pending()
+                stats = self._stats()
+                self._acc_ub = max(stats["n_unique"], default=0)
+            else:
+                # a single batch exceeds acc_cap: the device overflow
+                # counter records the loss and finalize raises
+                break
 
     def feed(self, codes: np.ndarray, n_reads: int = 0, n_bases: int = 0) -> None:
+        R, L = codes.shape
+        positions = R * max(L - self.k + 1, 0)  # global new-unique bound
+        self._ensure_room(positions)
         sharded = exchange.shard_batch(self.mesh, codes)
-        self.state = self._step(sharded, self.state)
+        self.pending.append(self._exchange(sharded))
+        self._pend_ub += positions
         self.n_reads += n_reads
         self.n_bases += n_bases
+        if len(self.pending) >= self.fanin:
+            self._merge_pending()
 
-    def check(self) -> dict:
-        """Pull overflow scalars (cheap) to validate capacities mid-run."""
+    def _stats(self) -> dict:
+        """Counters of merges completed so far (pending parts excluded)."""
         return {
             "dropped": int(np.asarray(self.state.dropped)),
             "overflow": int(np.asarray(self.state.overflow)),
             "n_unique": np.asarray(self.state.n_unique).tolist(),
         }
 
-    def finalize(self):
-        """-> (words [U, W], counts [U], bins [U]) merged across chips.
+    def check(self) -> dict:
+        """Merge pending parts and pull overflow scalars (cheap) to
+        validate capacities mid-run."""
+        self._merge_pending()
+        return self._stats()
 
-        Bins partition k-mers across chips, so per-chip tables are disjoint
-        and concatenation + one host lexsort-free merge (tables are sorted;
-        chips' ranges interleave, so one final sort) yields the global
-        table.  One stacked D2H per chip.
-        """
-        stats = self.check()
+    def _raise_if_lost(self, stats: dict) -> None:
         if stats["dropped"]:
-            raise RuntimeError(f"exchange overflow: {stats['dropped']} entries; raise cap")
+            raise RuntimeError(
+                f"exchange overflow: {stats['dropped']} entries; raise cap/rcap"
+            )
         if stats["overflow"]:
             raise RuntimeError(
                 f"accumulator overflow: {stats['overflow']} uniques; raise acc_cap"
             )
-        from .. import pipeline as base
 
+    def spill(self) -> None:
+        """Pull the accumulated per-chip tables to the host and reset the
+        device accumulator — the pressure valve that makes acc_cap a budget,
+        not a limit."""
+        stats = self.check()
+        self._raise_if_lost(stats)
+        self.host_spills.extend(self._pull_tables(stats))
+        self.state = self._init_state()
+        self._acc_ub = 0
+
+    def _pull_tables(self, stats: dict) -> list:
+        if not any(stats["n_unique"]):
+            return []
         stacked = _stack_all(self.state.words, self.state.wts, self.k, self.m, self.B)
         parts = []
         # per-chip pulls via addressable shards (indexing a sharded axis in
@@ -183,17 +296,29 @@ class DistributedCounter:
                 (tab[:, : self.W], tab[:, self.W].astype(np.int64),
                  tab[:, self.W + 1].astype(np.int32))
             )
+        return parts
+
+    def finalize(self):
+        """-> (words [U, W], counts [U], bins [U]) merged across chips.
+
+        Bins partition k-mers across chips, so per-chip tables are disjoint
+        and spills never share k-mers with later tables *of other chips*;
+        the same chip may spill the same k-mer twice, so the host merge is
+        a weighted group-by (pipeline.merge_partials).  One stacked D2H per
+        chip per spill.
+        """
+        stats = self.check()
+        self._raise_if_lost(stats)
+        from .. import pipeline as base
+
+        parts = self.host_spills + self._pull_tables(stats)
         if not parts:
             return (
                 np.zeros((0, self.W), np.uint32),
                 np.zeros(0, np.int64),
                 np.zeros(0, np.int32),
             )
-        words = np.concatenate([p[0] for p in parts])
-        counts = np.concatenate([p[1] for p in parts])
-        bins = np.concatenate([p[2] for p in parts])
-        order = np.lexsort(tuple(words[:, w] for w in reversed(range(self.W))))
-        return words[order], counts[order], bins[order]
+        return base.merge_partials(parts, self.W)
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))

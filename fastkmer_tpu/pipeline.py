@@ -126,29 +126,15 @@ def _merge_rows(cols: tuple, wts: jnp.ndarray):
 def _compact_rows(sc: count_sort.SortedCounts, cap: int):
     """Stream-compact unique rows of a merged table to a [cap] prefix.
 
-    Done with one more sort keyed on (is_start ? idx : N+idx) — a monotone
-    key that floats the unique rows (already in k-mer order) to the front —
-    because a scatter of tens of millions of rows serializes on TPU while a
-    sort runs at full throughput."""
+    Order-preserving compaction without a sort or scatter (both the wrong
+    shape on TPU — a scatter serializes, a second full sort doubles the
+    merge cost): the j-th unique row sits at the first index where
+    cumsum(is_start) == j+1, found with a vectorized binary search
+    (ops.count_sort.compact_by_mask)."""
     W = sc.words.shape[1]
-    N = sc.is_start.shape[0]
-    idx = jnp.arange(N, dtype=jnp.int32)
-    key = jnp.where(sc.is_start, idx, idx + jnp.int32(N))
-    ops = (key,) + tuple(sc.words[:, w] for w in range(W)) + (sc.counts,)
-    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    take = min(cap, N)
-    ones = jnp.uint32(0xFFFFFFFF)
-    keep = out[0][:take] < jnp.int32(N)
-    cols = []
-    for w in range(W):
-        col = jnp.where(keep, out[1 + w][:take], ones)
-        if take < cap:
-            col = jnp.concatenate([col, jnp.full(cap - take, ones, jnp.uint32)])
-        cols.append(col)
-    wts = jnp.where(keep, out[W + 1][:take], 0)
-    if take < cap:
-        wts = jnp.concatenate([wts, jnp.zeros(cap - take, jnp.int32)])
-    return tuple(cols), wts
+    cols = [sc.words[:, w] for w in range(W)] + [sc.counts]
+    outs, _n = count_sort.compact_by_mask(sc.is_start, cols, cap)
+    return tuple(outs[:W]), outs[W]
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))

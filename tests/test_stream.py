@@ -48,6 +48,32 @@ def test_streaming_counter_matches_oracle(mesh8):
         assert b == bits.hash_to_bucket(sig, B)
 
 
+def test_streaming_counter_spills_to_host(mesh8):
+    """acc_cap smaller than the run's distinct count: the counter must
+    spill per-chip tables to the host at merge boundaries and still produce
+    the exact global table."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(19)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=2048, fanin=1,
+        owner_map=partitioner.hash_owner_map(B, 8),
+    )
+    for _ in range(6):
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    words, counts, _bins = ctr.finalize()
+    assert ctr.host_spills, "expected at least one host spill"
+
+    expect = oracles.count_reads(all_reads, k)
+    kmers = bits.decode_words_batch(words, k)
+    got = {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
+    assert got == dict(expect)
+
+
 def test_streaming_counter_overflow_detected(mesh8):
     from fastkmer_tpu.parallel import partitioner, stream
 

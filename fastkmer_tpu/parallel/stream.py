@@ -6,14 +6,13 @@ wrong shape.  This module keeps all cross-batch state INSIDE the device:
 
   per batch   exchange_step(codes, owner_tab) ->
                 extract -> route -> all_to_all          (as exchange.py)
-                -> searchsorted-compact the received rows to [rcap]
-              (NO sort-count per batch; the compacted rows are buffered
+              (NO sort-count per batch; the received rows are buffered
               on device — "pending" parts)
 
   every ``fanin`` batches (or when the accumulator budget forces it)
               merge_step(parts..., acc) ->
                 ONE weighted sentinel-sort over (pending rows, accumulated
-                uniques) + run-length count + searchsorted-compaction back
+                uniques) + run-length count + ONE compaction sort back
                 to the [acc_cap] accumulator
 
 This is the device analogue of the reference's reduce-side state (Spark
@@ -29,13 +28,13 @@ the accumulator to the host at a merge boundary and keeps going, so any
 genome fits regardless of the device budget.
 
 Fixed capacities (TPU has no dynamic shapes): ``cap`` bounds per-(src,dst)
-exchange lanes, ``rcap`` bounds received rows per chip per batch,
-``acc_cap`` bounds distinct k-mers held per chip; all overflow is DETECTED
-via psum'd counters, never silent.
+exchange lanes, ``acc_cap`` bounds distinct k-mers held per chip; all
+overflow is DETECTED via psum'd counters, never silent.
 
-Compaction here is never a scatter (TPU scatters serialize) and never a
-second full sort: the j-th kept row is located with a binary search on the
-running count of kept rows (cumsum + searchsorted + gather).
+Compaction back to acc_cap is one more sort on a monotone float-to-front
+key — never a scatter (TPU scatters serialize) and never a gather
+(a random gather costs ~9 ns/elem on TPU, ~3x a whole sort pass per
+binary-search step; benchmarks/primitives.py).
 """
 
 from __future__ import annotations
@@ -64,35 +63,29 @@ class AccState(NamedTuple):
     overflow: jnp.ndarray  # [] int32 cumulative accumulator overflow
 
 
-compact_by_mask = count_sort.compact_by_mask
-
-
 class DistributedCounter:
     """Multi-batch streaming counter over a 1-D mesh (k % 16 != 0).
 
     ``cap``      per-(src,dst) all_to_all lane capacity (k-mers).
-    ``rcap``     received-rows-per-chip-per-batch capacity (defaults to a
-                 power of two >= 2*cap — room for 2x bin skew).
     ``acc_cap``  distinct k-mers held on each chip between host spills.
     ``fanin``    exchanges buffered per merge sort.
     """
 
     def __init__(self, mesh: Mesh, k: int, m: int, B: int, cap: int, acc_cap: int,
-                 owner_map: np.ndarray, fanin: int = 4, rcap: int | None = None):
+                 owner_map: np.ndarray, fanin: int = 4):
         assert count_sort.sentinel_safe_for(k), "streaming counter needs k % 16 != 0"
         self.mesh = mesh
         self.k, self.m, self.B = k, m, B
         self.W = num_words(k)
         self.n = mesh.shape[AXIS]
         self.cap = cap
-        self.rcap = rcap or max(1 << (2 * cap - 1).bit_length(), 1024)
         self.acc_cap = acc_cap
         self.fanin = fanin
         self.owner = np.asarray(owner_map, dtype=np.int32)
         self._exchange = self._build_exchange()
         self._merge_cache: dict[int, callable] = {}
         self.state = self._init_state()
-        self.pending: list = []  # [(cols tuple [n, rcap], ndrop, roverflow)]
+        self.pending: list = []  # [(cols tuple [n, n*cap], ndrop)]
         self.host_spills: list = []  # (words, counts, bins) np arrays
         self._acc_ub = 0  # conservative upper bound on per-chip uniques
         self._pend_ub = 0  # conservative upper bound on pending new uniques
@@ -112,18 +105,16 @@ class DistributedCounter:
         )
 
     # ------------------------------------------------------------------ #
-    # per-batch exchange: extract -> route -> all_to_all -> compact      #
+    # per-batch exchange: extract -> route -> all_to_all (NO sort/count) #
     # ------------------------------------------------------------------ #
     def _build_exchange(self):
-        k, m, B, n, cap, rcap, W = (
-            self.k, self.m, self.B, self.n, self.cap, self.rcap, self.W,
-        )
+        k, m, B, n, cap, W = self.k, self.m, self.B, self.n, self.cap, self.W
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(P(AXIS, None), P()),
-            out_specs=(tuple(P(AXIS) for _ in range(W)), P(), P()),
+            out_specs=(tuple(P(AXIS) for _ in range(W)), P()),
         )
         def ex_step(codes, owner_tab):
             ex = extract.extract(codes, k, m, B)
@@ -132,14 +123,10 @@ class DistributedCounter:
             routed, bok, ndrop = exchange.route_by_owner(owner, ex.valid, cols, n, cap)
             recv = [exchange._all_to_all(c) for c in routed] + [exchange._all_to_all(bok)]
             rok = recv[W] == jnp.uint32(1)
+            # sentinel the unfilled slots so the merge can weigh rows by
+            # sentinel-test alone (no ok lane buffered)
             rcols = [jnp.where(rok, recv[w], _ONES) for w in range(W)]
-            ccols, n_recv = compact_by_mask(rok, rcols, rcap)
-            rover = jnp.maximum(n_recv - rcap, 0)
-            return (
-                tuple(c[None] for c in ccols),
-                jax.lax.psum(ndrop, AXIS),
-                jax.lax.psum(rover, AXIS),
-            )
+            return tuple(c[None] for c in rcols), jax.lax.psum(ndrop, AXIS)
 
         jitted = jax.jit(ex_step)
         owner_arr = self.owner
@@ -149,20 +136,19 @@ class DistributedCounter:
     # merge: pending parts + accumulator -> accumulator                  #
     # ------------------------------------------------------------------ #
     def _build_merge(self, nparts: int):
-        n, acc_cap, rcap, W = self.n, self.acc_cap, self.rcap, self.W
-        n_rows = nparts * rcap + acc_cap
-        cap_in = 1 << max(10, (n_rows - 1).bit_length())
+        n, acc_cap, W = self.n, self.acc_cap, self.W
+        n_rows = nparts * n * self.cap + acc_cap
+        cap_in = -(-n_rows // (1 << 16)) * (1 << 16)  # 64Ki granules, bounded compiles
         specs_part = tuple(tuple(P(AXIS) for _ in range(W)) for _ in range(nparts))
         acc_spec = AccState(P(AXIS), P(AXIS), P(AXIS), P(), P())
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(specs_part, tuple(P() for _ in range(nparts)),
-                      tuple(P() for _ in range(nparts)), acc_spec),
+            in_specs=(specs_part, tuple(P() for _ in range(nparts)), acc_spec),
             out_specs=acc_spec,
         )
-        def merge(parts, ndrops, rovers, acc: AccState) -> AccState:
+        def merge(parts, ndrops, acc: AccState) -> AccState:
             pad = cap_in - n_rows
             mcols = []
             for w in range(W):
@@ -180,20 +166,31 @@ class DistributedCounter:
             sc = count_sort.count_sorted(
                 jnp.stack(mcols, axis=1), None, valid, weights=wts, sentinel_safe=True
             )
-            cols = [sc.words[:, w] for w in range(W)] + [sc.counts]
-            (outs, n_u) = compact_by_mask(sc.is_start, cols, acc_cap)
-            new_words = jnp.stack(outs[:W], axis=1)
+            # compaction to acc_cap: one more monotone-key sort (a gather
+            # here costs ~3x a sort pass per binary-search step on TPU)
+            n_u = jnp.sum(sc.is_start.astype(jnp.int32))
+            idx = jnp.arange(cap_in, dtype=jnp.int32)
+            key = jnp.where(sc.is_start, idx, idx + jnp.int32(cap_in))
+            out = jax.lax.sort(
+                (key,) + tuple(sc.words[:, w] for w in range(W)) + (sc.counts,),
+                num_keys=1, is_stable=False,
+            )
+            keep = out[0][:acc_cap] < jnp.int32(cap_in)
+            new_words = jnp.stack(
+                [jnp.where(keep, out[1 + w][:acc_cap], _ONES) for w in range(W)], axis=1
+            )
+            new_wts = jnp.where(keep, out[W + 1][:acc_cap], 0)
             over = jnp.maximum(n_u - acc_cap, 0)
             return AccState(
                 words=new_words[None],
-                wts=outs[W][None],
+                wts=new_wts[None],
                 n_unique=jnp.minimum(n_u, acc_cap)[None],
-                # ndrops/rovers are replicated psums already — no psum here
-                dropped=acc.dropped + sum(ndrops) + sum(rovers),
+                # ndrops are replicated psums already — no psum here
+                dropped=acc.dropped + sum(ndrops),
                 overflow=acc.overflow + jax.lax.psum(over, AXIS),
             )
 
-        return jax.jit(merge, donate_argnums=(3,))
+        return jax.jit(merge, donate_argnums=(2,))
 
     def _merge_pending(self) -> None:
         if not self.pending:
@@ -203,8 +200,7 @@ class DistributedCounter:
             self._merge_cache[nparts] = self._build_merge(nparts)
         parts = tuple(p[0] for p in self.pending)
         ndrops = tuple(p[1] for p in self.pending)
-        rovers = tuple(p[2] for p in self.pending)
-        self.state = self._merge_cache[nparts](parts, ndrops, rovers, self.state)
+        self.state = self._merge_cache[nparts](parts, ndrops, self.state)
         self.pending = []
         self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
         self._pend_ub = 0
@@ -219,15 +215,17 @@ class DistributedCounter:
         stats = self._stats()  # exact occupancy before deciding to spill
         self._acc_ub = max(stats["n_unique"], default=0)
         while self._acc_ub + self._pend_ub + incoming > self.acc_cap:
-            if self._acc_ub > 0:
+            if self.pending:
+                # merge first: duplicates may collapse the conservative
+                # pending bound far below acc_cap (no spill needed at all)
+                self._merge_pending()
+                stats = self._stats()
+                self._acc_ub = max(stats["n_unique"], default=0)
+            elif self._acc_ub > 0:
                 self._raise_if_lost(stats)
                 self.host_spills.extend(self._pull_tables(stats))
                 self.state = self._init_state()
                 self._acc_ub = 0
-            elif self.pending:
-                self._merge_pending()
-                stats = self._stats()
-                self._acc_ub = max(stats["n_unique"], default=0)
             else:
                 # a single batch exceeds acc_cap: the device overflow
                 # counter records the loss and finalize raises
@@ -262,7 +260,7 @@ class DistributedCounter:
     def _raise_if_lost(self, stats: dict) -> None:
         if stats["dropped"]:
             raise RuntimeError(
-                f"exchange overflow: {stats['dropped']} entries; raise cap/rcap"
+                f"exchange overflow: {stats['dropped']} entries; raise cap"
             )
         if stats["overflow"]:
             raise RuntimeError(

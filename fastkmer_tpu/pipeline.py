@@ -111,30 +111,79 @@ def _to_merge_rows(sc: count_sort.SortedCounts):
     return cols, jnp.where(sc.is_start, sc.counts, 0)
 
 
-@partial(jax.jit, static_argnames=())
-def _merge_rows(cols: tuple, wts: jnp.ndarray):
-    """Weighted dedup-sort of merge rows; returns (SortedCounts, n_unique)."""
-    W = len(cols)
-    valid = cols[W - 1] != jnp.uint32(0xFFFFFFFF)
+@partial(jax.jit, static_argnames=("k", "m", "B", "use_pallas"))
+def _batch_extract_keys(codes: jnp.ndarray, k: int, m: int, B: int, use_pallas: bool):
+    """Stage-1 only: pre-sentineled sort-key columns, NO per-batch sort —
+    the accumulator defers all sorting to its fan-in merge, which costs
+    ~half the comparator work of sort-per-batch + re-sort-at-merge."""
+    if use_pallas:
+        from .ops import pallas_extract
+
+        return tuple(pallas_extract.extract_pallas_sentinel(codes, k, m, B))
+    ex = extract.extract(codes, k, m, B)
+    ones = jnp.uint32(0xFFFFFFFF)
+    W = ex.words.shape[1]
+    return tuple(jnp.where(ex.valid, ex.words[:, w], ones) for w in range(W))
+
+
+def _acc_merge(parts, acc):
+    """One fused weighted merge: (raw/counted parts, accumulator) -> new
+    accumulator at fixed capacity.
+
+    parts: tuple of (cols tuple, wts | None) — None means raw k-mer
+    instances (weight 1 where non-sentinel), arrays mean pre-counted
+    uniques.  acc: (cols, wts, n_unique, overflow).  Inputs are padded to
+    the next power of two so the compile set stays bounded; compaction is
+    binary-search gather (ops.count_sort.compact_by_mask), so the whole
+    merge contains exactly ONE sort.
+    """
+    acc_cols, acc_wts, _acc_nu, acc_over = acc
+    W = len(acc_cols)
+    acc_cap = acc_cols[0].shape[0]
+    ones = jnp.uint32(0xFFFFFFFF)
+    n_rows = sum(p[0][0].shape[0] for p in parts) + acc_cap
+    # round to 64Ki granules: bounded compile set without power-of-two
+    # memory blowup (a pow2 round of 8 batches + acc nearly doubles HBM)
+    cap_in = -(-n_rows // (1 << 16)) * (1 << 16)
+    pad = cap_in - n_rows
+    mcols = []
+    for w in range(W):
+        segs = [p[0][w] for p in parts] + [acc_cols[w]]
+        if pad:
+            segs.append(jnp.full(pad, ones, jnp.uint32))
+        mcols.append(jnp.concatenate(segs))
+    wsegs = []
+    for cols_p, wts_p in parts:
+        if wts_p is None:
+            wsegs.append((cols_p[W - 1] != ones).astype(jnp.int32))
+        else:
+            wsegs.append(wts_p)
+    wsegs.append(acc_wts)
+    if pad:
+        wsegs.append(jnp.zeros(pad, jnp.int32))
+    wts = jnp.concatenate(wsegs)
+    valid = mcols[W - 1] != ones
     sc = count_sort.count_sorted(
-        jnp.stack(cols, axis=1), None, valid, weights=wts, sentinel_safe=True
+        jnp.stack(mcols, axis=1), None, valid, weights=wts, sentinel_safe=True
     )
-    return sc, jnp.sum(sc.is_start.astype(jnp.int32))
-
-
-@partial(jax.jit, static_argnames=("cap",))
-def _compact_rows(sc: count_sort.SortedCounts, cap: int):
-    """Stream-compact unique rows of a merged table to a [cap] prefix.
-
-    Order-preserving compaction without a sort or scatter (both the wrong
-    shape on TPU — a scatter serializes, a second full sort doubles the
-    merge cost): the j-th unique row sits at the first index where
-    cumsum(is_start) == j+1, found with a vectorized binary search
-    (ops.count_sort.compact_by_mask)."""
-    W = sc.words.shape[1]
-    cols = [sc.words[:, w] for w in range(W)] + [sc.counts]
-    outs, _n = count_sort.compact_by_mask(sc.is_start, cols, cap)
-    return tuple(outs[:W]), outs[W]
+    # compaction to acc_cap: one more sort on a monotone float-to-front key.
+    # A second sort, not a gather: on TPU a random gather costs ~9 ns/elem
+    # (~3x a whole sort pass per binary-search step — benchmarks/primitives),
+    # so binary-search compaction (compact_by_mask) is 50x slower here.
+    n_u = jnp.sum(sc.is_start.astype(jnp.int32))
+    idx = jnp.arange(cap_in, dtype=jnp.int32)
+    key = jnp.where(sc.is_start, idx, idx + jnp.int32(cap_in))
+    out = jax.lax.sort(
+        (key,) + tuple(sc.words[:, w] for w in range(W)) + (sc.counts,),
+        num_keys=1, is_stable=False,
+    )
+    keep = out[0][:acc_cap] < jnp.int32(cap_in)
+    new_cols = tuple(
+        jnp.where(keep, out[1 + w][:acc_cap], ones) for w in range(W)
+    )
+    new_wts = jnp.where(keep, out[W + 1][:acc_cap], 0)
+    over = jnp.maximum(n_u - acc_cap, 0)
+    return (new_cols, new_wts, jnp.minimum(n_u, acc_cap), acc_over + over)
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))
@@ -151,15 +200,23 @@ def _stack_with_bins(cols: tuple, wts: jnp.ndarray, k: int, m: int, B: int) -> j
 
 
 class DeviceAccumulator:
-    """Device-resident cross-batch merging.
+    """Device-resident cross-batch merging with deferred sorting.
 
     The Spark reference merges partials through the JVM shuffle; the naive
     TPU translation (pull every batch's table to the host, numpy-merge at
     the end) drowns in D2H — through a remote-device tunnel it is ~100x the
-    device time.  This accumulator keeps per-batch unique tables ON DEVICE
-    in 'merge row' form, periodically collapse-merges them with one weighted
-    device sort, stream-compacts to the distinct-k-mer count, and pulls ONE
-    stacked (words, count, bin) matrix at the end.
+    device time.  This accumulator buffers RAW pre-sentineled key columns
+    per batch (``add_raw`` — no per-batch sort at all), merges every
+    ``fanin`` batches with ONE weighted count-sort + ONE compaction sort
+    into a FIXED-capacity unique table, and pulls one stacked
+    (words, count, bin) matrix at the end.  When the distinct count
+    outgrows ``acc_cap`` it spills the table to the host at a merge
+    boundary, so any dataset fits in a fixed device budget.
+
+    No per-merge host sync: capacity pressure is tracked with conservative
+    host-side upper bounds, refreshed by a scalar pull only when a spill
+    decision is actually needed; genuine overflow is recorded by a device
+    counter and raised at finalize.
     """
 
     def __init__(
@@ -169,6 +226,7 @@ class DeviceAccumulator:
         max_device_rows: int = 192_000_000,
         m: int = 10,
         B: int = 512,
+        acc_cap: int | None = None,
     ):
         self.k = k
         self.W = num_words(k)
@@ -176,46 +234,98 @@ class DeviceAccumulator:
         self.B = B
         self.fanin = fanin
         self.max_device_rows = max_device_rows
-        self.parts: list = []  # (cols tuple, weights) on device
-        self.rows = 0
-        self.host_spills: list = []  # (words, counts) np arrays
+        self.acc_cap = acc_cap  # sized from the first part when None
+        self.state = None  # (cols tuple [acc_cap], wts, n_unique [], overflow [])
+        self.pending: list = []  # (cols tuple, wts | None)
+        self.rows = 0  # pending buffered rows
+        self._acc_ub = 0  # conservative bound on accumulated uniques
+        self._pend_ub = 0  # conservative bound on pending new uniques
+        self.host_spills: list = []  # (words, counts, bins) np arrays
+        self._merge = jax.jit(_acc_merge, donate_argnums=(1,))
+
+    def _init_state(self):
+        cols = tuple(
+            jax.device_put(np.full(self.acc_cap, 0xFFFFFFFF, np.uint32))
+            for _ in range(self.W)
+        )
+        return (
+            cols,
+            jax.device_put(np.zeros(self.acc_cap, np.int32)),
+            jax.device_put(np.int32(0)),
+            jax.device_put(np.int32(0)),
+        )
+
+    def add_raw(self, cols: tuple) -> None:
+        """Buffer one batch of pre-sentineled key columns (weight 1 each)."""
+        self._append((tuple(cols), None), int(cols[0].shape[0]))
 
     def add(self, sc: count_sort.SortedCounts) -> None:
+        """Buffer one pre-counted batch (unique rows weighted by count)."""
         cols, wts = _to_merge_rows(sc)
-        self.parts.append((cols, wts))
-        self.rows += int(wts.shape[0])
-        if len(self.parts) >= self.fanin:
-            self._collapse(spill=self.rows > self.max_device_rows)
+        self._append((cols, wts), int(wts.shape[0]))
 
-    def _collapse(self, spill: bool = False) -> None:
-        if not self.parts:
+    def _append(self, part, n_new_ub: int) -> None:
+        if self.acc_cap is None:
+            self.acc_cap = 1 << max(14, (2 * n_new_ub - 1).bit_length())
+        if self.state is None:
+            self.state = self._init_state()
+        self._ensure_room(n_new_ub)
+        self.pending.append(part)
+        self.rows += int(part[0][0].shape[0])
+        self._pend_ub += n_new_ub
+        if len(self.pending) >= self.fanin or self.rows > self.max_device_rows:
+            self._merge_pending()
+
+    def _merge_pending(self) -> None:
+        if not self.pending:
             return
-        if len(self.parts) == 1:
-            cols, wts = self.parts[0]
-        else:
-            cols = tuple(
-                jnp.concatenate([p[0][w] for p in self.parts]) for w in range(self.W)
+        self.state = self._merge(tuple(self.pending), self.state)
+        self.pending = []
+        self.rows = 0
+        self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
+        self._pend_ub = 0
+
+    def _ensure_room(self, incoming: int) -> None:
+        if self._acc_ub + self._pend_ub + incoming <= self.acc_cap:
+            return
+        stats = self._stats()  # exact occupancy before deciding to spill
+        self._acc_ub = stats["n_unique"]
+        while self._acc_ub + self._pend_ub + incoming > self.acc_cap:
+            if self.pending:
+                # merge first: duplicates may collapse the conservative
+                # pending bound far below acc_cap (no spill needed at all)
+                self._merge_pending()
+                stats = self._stats()
+                self._acc_ub = stats["n_unique"]
+            elif self._acc_ub > 0:
+                self._raise_if_lost(stats)
+                self._spill(stats)
+            else:
+                # a single batch exceeds acc_cap: the device overflow
+                # counter records the loss and finalize raises
+                break
+
+    def _stats(self) -> dict:
+        if self.state is None:
+            return {"n_unique": 0, "overflow": 0}
+        return {
+            "n_unique": int(np.asarray(self.state[2])),
+            "overflow": int(np.asarray(self.state[3])),
+        }
+
+    def _raise_if_lost(self, stats: dict) -> None:
+        if stats["overflow"]:
+            raise RuntimeError(
+                f"accumulator overflow: {stats['overflow']} uniques lost; "
+                f"raise acc_cap (= {self.acc_cap})"
             )
-            wts = jnp.concatenate([p[1] for p in self.parts])
-        # canonicalize the merge shape to the next power of two (sentinel
-        # padding): every distinct input size would otherwise trigger a
-        # fresh XLA compile, which dominates cold starts through the
-        # remote-compile hop
-        n_rows = wts.shape[0]
-        cap_in = 1 << max(10, (n_rows - 1).bit_length())
-        if cap_in != n_rows:
-            pad = cap_in - n_rows
-            cols = tuple(
-                jnp.concatenate([c, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]) for c in cols
-            )
-            wts = jnp.concatenate([wts, jnp.zeros(pad, jnp.int32)])
-        sc, n_u = _merge_rows(cols, wts)
-        n_unique = int(np.asarray(n_u))  # one scalar transfer
-        cap = 1 << max(10, (max(n_unique, 1) - 1).bit_length())
-        ccols, cwts = _compact_rows(sc, cap)
-        if spill:
-            stacked = _stack_with_bins(ccols, cwts, self.k, self.m, self.B)
-            table = np.asarray(stacked[:n_unique])  # ONE device-to-host transfer
+
+    def _spill(self, stats: dict) -> None:
+        n_u = stats["n_unique"]
+        if n_u:
+            cols, wts, _, _ = self.state
+            stacked = _stack_with_bins(cols, wts, self.k, self.m, self.B)
+            table = np.asarray(stacked[:n_u])  # ONE device-to-host transfer
             self.host_spills.append(
                 (
                     table[:, : self.W],
@@ -223,15 +333,15 @@ class DeviceAccumulator:
                     table[:, self.W + 1].astype(np.int32),
                 )
             )
-            self.parts = []
-            self.rows = 0
-        else:
-            self.parts = [(ccols, cwts)]
-            self.rows = cap
+        self.state = self._init_state()
+        self._acc_ub = 0
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (unique words [U, W] ascending, counts [U], bins [U]) on host."""
-        self._collapse(spill=True)
+        self._merge_pending()
+        stats = self._stats()
+        self._raise_if_lost(stats)
+        self._spill(stats)
         if not self.host_spills:
             return (
                 np.zeros((0, self.W), np.uint32),
@@ -322,15 +432,18 @@ def count_batches(
                     raise FingerprintCollision(
                         "64-bit fingerprint collision; re-run with the sort engine"
                     )
+            elif acc is not None:
+                # deferred path: stage-1 extract only; the accumulator's
+                # fan-in merge does all the sorting
+                sc = None
+                cols = _batch_extract_keys(jnp.asarray(codes), k, m, B, use_pallas)
             elif use_pallas:
-                sc = _batch_count_pallas(
-                    jnp.asarray(codes), k, m, B, with_bins=acc is None
-                )
+                sc = _batch_count_pallas(jnp.asarray(codes), k, m, B)
             else:
                 sc = _batch_count(jnp.asarray(codes), k, m, B)
         if acc is not None:
             with timer.span("device_merge"):
-                acc.add(sc)
+                acc.add_raw(cols)
         else:
             with timer.span("host_compact"):
                 part = _compact(sc)

@@ -55,6 +55,11 @@ def _load():
         f.argtypes = [u8p, ctypes.c_int64, u8p, i64p, ctypes.c_int64]
     lib.fk_encode.restype = ctypes.c_int64
     lib.fk_encode.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.fk_dump_lines.restype = ctypes.c_int64
+    lib.fk_dump_lines.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -95,6 +100,25 @@ def parse_file(path: str, fmt: str = "fasta"):
         raise RuntimeError(f"native parse failed with code {nrec}")
     total = starts[nrec]
     return codes[:total], starts[: nrec + 1].copy()
+
+
+def dump_lines(words: np.ndarray, counts: np.ndarray, k: int) -> bytes:
+    """Decode packed k-mer rows + counts into ``<KMER>\\t<count>\\n`` bytes
+    (the reference's per-bin line format) in one native pass."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n, W = words.shape
+    out = np.empty(n * (k + 22), dtype=np.uint8)
+    m = lib.fk_dump_lines(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n), ctypes.c_int32(k), ctypes.c_int32(W),
+        _as_u8p(out),
+    )
+    return out[:m].tobytes()
 
 
 def encode(data: bytes) -> np.ndarray:

@@ -127,4 +127,34 @@ int64_t fk_parse_fastq(const uint8_t* in, int64_t n, uint8_t* codes_out,
     return nrec;
 }
 
+// Decode packed k-mer rows + counts into "<KMER>\t<count>\n" lines — the
+// output hot path (the reference's per-Kmer toByteArray + BufferedWriter
+// loop, package.scala:416-454 + SparkBinKmerCounter.scala:566-597).
+//   words:  n rows x W uint32, 16 big-endian 2-bit bases per word
+//   counts: int64[n]
+//   out:    capacity >= n * (k + 22) bytes
+// Returns bytes written.
+int64_t fk_dump_lines(const uint32_t* words, const int64_t* counts,
+                      int64_t n, int32_t k, int32_t W, uint8_t* out) {
+    static const char B[4] = {'A', 'C', 'G', 'T'};
+    int64_t o = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* row = words + i * W;
+        for (int32_t p = 0; p < k; ++p) {
+            uint32_t word = row[p >> 4];
+            int shift = 2 * (15 - (p & 15));
+            out[o++] = B[(word >> shift) & 3u];
+        }
+        out[o++] = '\t';
+        int64_t c = counts[i];
+        char buf[24];
+        int bl = 0;
+        if (c <= 0) buf[bl++] = '0';
+        while (c > 0) { buf[bl++] = char('0' + (c % 10)); c /= 10; }
+        while (bl > 0) out[o++] = uint8_t(buf[--bl]);
+        out[o++] = '\n';
+    }
+    return o;
+}
+
 }  // extern "C"

@@ -54,6 +54,13 @@ def write_bin_files(
 
 
 def _format_lines(words: np.ndarray, counts: np.ndarray, k: int) -> bytes:
+    try:  # native one-pass decode+format (ingest/native/fkingest.cpp)
+        from ..ingest import native
+
+        if native.available():
+            return native.dump_lines(words, counts, k)
+    except Exception:
+        pass
     kmers = bits.decode_words_batch(words, k)
     return b"".join(
         km + b"\t" + str(int(c)).encode() + b"\n" for km, c in zip(kmers, counts.tolist())

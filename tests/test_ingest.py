@@ -131,3 +131,30 @@ def test_memsize():
 
     assert memsize.nbytes({"a": np.zeros(10, np.uint32), "b": [np.zeros(2, np.uint8)]}) == 42
     assert memsize.human(2048) == "2.0KB"
+
+
+def test_native_dump_lines_matches_python():
+    """fk_dump_lines must produce byte-identical <KMER>\\t<count> lines."""
+    from fastkmer_tpu.core import bits
+    from fastkmer_tpu.ingest import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for k in (5, 16, 28, 33, 64):
+        W = bits.num_words(k)
+        words = rng.integers(0, 2**32, size=(64, W), dtype=np.uint32)
+        pad_bits = (16 - k % 16) % 16 * 2
+        if pad_bits:
+            words[:, W - 1] &= np.uint32(0xFFFFFFFF) << pad_bits
+        counts = np.concatenate(
+            [np.array([0, 1, 9, 10], np.int64),
+             rng.integers(1, 10**14, size=60).astype(np.int64)]
+        )
+        expect = b"".join(
+            km + b"\t" + str(int(c)).encode() + b"\n"
+            for km, c in zip(bits.decode_words_batch(words, k), counts.tolist())
+        )
+        assert native.dump_lines(words, counts, k) == expect

@@ -69,14 +69,24 @@ class DistributedCounter:
     ``cap``      per-(src,dst) all_to_all lane capacity (k-mers).
     ``acc_cap``  distinct k-mers held on each chip between host spills.
     ``fanin``    exchanges buffered per merge sort.
+    ``with_seq`` multisequence mode: a per-read sequence id rides the
+                 exchange as one extra uint32 key lane, so the tables
+                 count (k-mer, seq) pairs — the KmerWithSequence analogue
+                 (reference: package.scala:506-509, multiseq shuffle at
+                 SparkMultiSequenceKmerCounter.scala:587-588).
     """
 
     def __init__(self, mesh: Mesh, k: int, m: int, B: int, cap: int, acc_cap: int,
-                 owner_map: np.ndarray, fanin: int = 4):
-        assert count_sort.sentinel_safe_for(k), "streaming counter needs k % 16 != 0"
+                 owner_map: np.ndarray, fanin: int = 4, with_seq: bool = False):
+        assert count_sort.sentinel_safe_for(k) or with_seq, (
+            "streaming counter needs k % 16 != 0 (or a seq lane, which is "
+            "itself sentinel-safe)"
+        )
         self.mesh = mesh
         self.k, self.m, self.B = k, m, B
-        self.W = num_words(k)
+        self.with_seq = with_seq
+        self.Wk = num_words(k)  # k-mer words only
+        self.W = self.Wk + (1 if with_seq else 0)  # key lanes incl. seq
         self.n = mesh.shape[AXIS]
         self.cap = cap
         self.acc_cap = acc_cap
@@ -108,19 +118,31 @@ class DistributedCounter:
     # per-batch exchange: extract -> route -> all_to_all (NO sort/count) #
     # ------------------------------------------------------------------ #
     def _build_exchange(self):
-        k, m, B, n, cap, W = self.k, self.m, self.B, self.n, self.cap, self.W
+        k, m, B, n, cap = self.k, self.m, self.B, self.n, self.cap
+        Wk, W, with_seq = self.Wk, self.W, self.with_seq
+        in_specs = (P(AXIS, None), P(AXIS), P()) if with_seq else (P(AXIS, None), P())
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(AXIS, None), P()),
+            in_specs=in_specs,
             out_specs=(tuple(P(AXIS) for _ in range(W)), P()),
         )
-        def ex_step(codes, owner_tab):
+        def ex_step(codes, *rest):
+            owner_tab = rest[-1]
             ex = extract.extract(codes, k, m, B)
             owner = owner_tab[ex.bins]
-            cols = tuple(jnp.where(ex.valid, ex.words[:, w], _ONES) for w in range(W))
-            routed, bok, ndrop = exchange.route_by_owner(owner, ex.valid, cols, n, cap)
+            cols = [jnp.where(ex.valid, ex.words[:, w], _ONES) for w in range(Wk)]
+            if with_seq:
+                R, L = codes.shape
+                Pp = L - k + 1
+                seq_col = jnp.broadcast_to(
+                    rest[0][:, None].astype(jnp.uint32), (R, Pp)
+                ).reshape(R * Pp)
+                cols.append(jnp.where(ex.valid, seq_col, _ONES))
+            routed, bok, ndrop = exchange.route_by_owner(
+                owner, ex.valid, tuple(cols), n, cap
+            )
             recv = [exchange._all_to_all(c) for c in routed] + [exchange._all_to_all(bok)]
             rok = recv[W] == jnp.uint32(1)
             # sentinel the unfilled slots so the merge can weigh rows by
@@ -130,6 +152,8 @@ class DistributedCounter:
 
         jitted = jax.jit(ex_step)
         owner_arr = self.owner
+        if with_seq:
+            return lambda codes, seq_ids: jitted(codes, seq_ids, owner_arr)
         return lambda codes: jitted(codes, owner_arr)
 
     # ------------------------------------------------------------------ #
@@ -231,12 +255,20 @@ class DistributedCounter:
                 # counter records the loss and finalize raises
                 break
 
-    def feed(self, codes: np.ndarray, n_reads: int = 0, n_bases: int = 0) -> None:
+    def feed(self, codes: np.ndarray, n_reads: int = 0, n_bases: int = 0,
+             seq_ids: np.ndarray | None = None) -> None:
         R, L = codes.shape
         positions = R * max(L - self.k + 1, 0)  # global new-unique bound
         self._ensure_room(positions)
         sharded = exchange.shard_batch(self.mesh, codes)
-        self.pending.append(self._exchange(sharded))
+        if self.with_seq:
+            sids = jax.device_put(
+                np.asarray(seq_ids, dtype=np.int32),
+                NamedSharding(self.mesh, P(AXIS)),
+            )
+            self.pending.append(self._exchange(sharded, sids))
+        else:
+            self.pending.append(self._exchange(sharded))
         self._pend_ub += positions
         self.n_reads += n_reads
         self.n_bases += n_bases
@@ -280,7 +312,9 @@ class DistributedCounter:
     def _pull_tables(self, stats: dict) -> list:
         if not any(stats["n_unique"]):
             return []
-        stacked = _stack_all(self.state.words, self.state.wts, self.k, self.m, self.B)
+        stacked = _stack_all(
+            self.state.words, self.state.wts, self.k, self.m, self.B, self.Wk
+        )
         parts = []
         # per-chip pulls via addressable shards (indexing a sharded axis in
         # the global view would require ambiguous-sharding gathers)
@@ -319,12 +353,17 @@ class DistributedCounter:
         return base.merge_partials(parts, self.W)
 
 
-@partial(jax.jit, static_argnames=("k", "m", "B"))
-def _stack_all(words: jnp.ndarray, wts: jnp.ndarray, k: int, m: int, B: int) -> jnp.ndarray:
-    """[n, acc_cap, W] + [n, acc_cap] -> [n, acc_cap, W+2] uint32 with bins."""
+@partial(jax.jit, static_argnames=("k", "m", "B", "Wk"))
+def _stack_all(
+    words: jnp.ndarray, wts: jnp.ndarray, k: int, m: int, B: int, Wk: int
+) -> jnp.ndarray:
+    """[n, acc_cap, W] + [n, acc_cap] -> [n, acc_cap, W+2] uint32 with bins.
+
+    ``Wk`` = k-mer word count; bins are a function of the k-mer words only
+    (any trailing seq lane is excluded from the hash)."""
     n, acc_cap, W = words.shape
     flat = words.reshape(n * acc_cap, W)
-    bins = binhash.bins_from_words(flat, k, m, B).reshape(n, acc_cap)
+    bins = binhash.bins_from_words(flat[:, :Wk], k, m, B).reshape(n, acc_cap)
     return jnp.concatenate(
         [words, wts.astype(jnp.uint32)[..., None], bins.astype(jnp.uint32)[..., None]],
         axis=2,

@@ -28,6 +28,7 @@ def main():
 
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     fanin = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    acc_lg = int(sys.argv[3]) if len(sys.argv) > 3 else 27
     use_pallas = pipeline.pallas_count_available(K)
 
     rng = np.random.default_rng(0)
@@ -41,7 +42,7 @@ def main():
         every merge variant (incl. capacity-triggered nparts < fanin) is
         compiled before timing; a single fresh compile through the remote
         hop costs ~1000x a step."""
-        acc = pipeline.DeviceAccumulator(K, fanin=fanin, m=M, B=B, acc_cap=1 << 27)
+        acc = pipeline.DeviceAccumulator(K, fanin=fanin, m=M, B=B, acc_cap=1 << acc_lg)
         for i in range(n_batches):
             cols = pipeline._batch_extract_keys(batches[i % 2], K, M, B, use_pallas)
             acc.add_raw(cols)

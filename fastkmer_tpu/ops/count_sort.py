@@ -123,14 +123,18 @@ def count_sorted(
     )
 
 
-def count_presentineled(cols: list) -> SortedCounts:
+def count_presentineled(cols: list, weights: jnp.ndarray | None = None) -> SortedCounts:
     """Count from pre-sentineled key columns (invalid rows already all-ones,
-    e.g. from ops.pallas_extract.extract_pallas_sentinel): sorts the bare
-    keys and derives validity from the sentinel — zero value lanes, zero
-    pre-sort rewrites.  bins in the result are None."""
+    e.g. from ops.pallas_extract.extract_pallas_sentinel or accumulator
+    merge rows): sorts the bare keys and derives validity from the sentinel
+    — zero pre-sort rewrites.  ``weights`` (int32, already 0 on sentinel
+    rows) turns run-length counting into weighted merging.  bins in the
+    result are None."""
     W = len(cols)
     N = cols[0].shape[0]
-    swords = jax.lax.sort(tuple(cols), num_keys=W, is_stable=False)
+    ops = tuple(cols) + (() if weights is None else (weights,))
+    out = jax.lax.sort(ops, num_keys=W, is_stable=False)
+    swords = out[:W]
     svalid = swords[W - 1] != jnp.uint32(0xFFFFFFFF)
 
     diff = jnp.zeros(N, dtype=bool).at[0].set(True)
@@ -143,14 +147,22 @@ def count_presentineled(cols: list) -> SortedCounts:
     idx = jnp.arange(N, dtype=jnp.int32)
     bpos = jnp.where(diff, idx, jnp.int32(N))
     nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
-    counts = jnp.where(is_start, nxt - idx, 0)
+    if weights is None:
+        counts = jnp.where(is_start, nxt - idx, 0)
+        n_valid = jnp.sum(svalid.astype(jnp.int32))
+    else:
+        sw = out[W]
+        cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))  # cw[i] = sum_{j>=i} sw[j]
+        cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
+        counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
+        n_valid = jnp.sum(sw)
 
     return SortedCounts(
         words=jnp.stack(swords, axis=1),
         bins=None,
         is_start=is_start,
         counts=counts,
-        n_valid=jnp.sum(svalid.astype(jnp.int32)),
+        n_valid=n_valid,
     )
 
 

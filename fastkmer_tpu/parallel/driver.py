@@ -88,7 +88,12 @@ def execute_job_distributed(
             for i, (codes, _, _) in enumerate(batches()):
                 if i % take == 0:  # deterministic 1-in-take sampling
                     hist += np.asarray(est(exchange.shard_batch(mesh, codes)), dtype=np.int64)
-        owner_map = partitioner.lpt_owner_map(hist, n, cfg.b)
+        # LPT over numPartitionTasks partitions (the reference's reduce-task
+        # count, TestKmerCounter.scala:47), then tasks -> chips round-robin;
+        # T == n when unset, collapsing to direct bin->chip LPT
+        T = cfg.num_partition_tasks or n
+        task_map = partitioner.lpt_owner_map(hist, T, cfg.b)
+        owner_map = (task_map % n).astype(np.int32)
         balance = partitioner.balance_stats(hist, owner_map, n)
     else:
         owner_map = partitioner.hash_owner_map(cfg.b, n)

@@ -186,10 +186,9 @@ class DistributedCounter:
                 [part_valid.astype(jnp.int32), acc.wts[0]]
                 + ([jnp.zeros(pad, jnp.int32)] if pad else [])
             )
-            valid = mcols[W - 1] != _ONES
-            sc = count_sort.count_sorted(
-                jnp.stack(mcols, axis=1), None, valid, weights=wts, sentinel_safe=True
-            )
+            # all inputs are pre-sentineled with zero weights on sentinel
+            # rows — skip count_sorted's validity rewrite pass entirely
+            sc = count_sort.count_presentineled(mcols, weights=wts)
             # compaction to acc_cap: one more monotone-key sort (a gather
             # here costs ~3x a sort pass per binary-search step on TPU)
             n_u = jnp.sum(sc.is_start.astype(jnp.int32))
@@ -214,7 +213,9 @@ class DistributedCounter:
                 overflow=acc.overflow + jax.lax.psum(over, AXIS),
             )
 
-        return jax.jit(merge, donate_argnums=(2,))
+        # donate the pending parts too: during a merge they are dead weight
+        # and the working set peaks at several times the table size
+        return jax.jit(merge, donate_argnums=(0, 2))
 
     def _merge_pending(self) -> None:
         if not self.pending:
@@ -228,6 +229,13 @@ class DistributedCounter:
         self.pending = []
         self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
         self._pend_ub = 0
+        # start the counters' D2H copies NOW (hides tunnel round trips if
+        # the host later needs them for a spill decision)
+        for a in (self.state.n_unique, self.state.dropped, self.state.overflow):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
 
     def _ensure_room(self, incoming: int) -> None:
         """Keep the next merge's unique-count bound within acc_cap, spilling
@@ -276,11 +284,12 @@ class DistributedCounter:
             self._merge_pending()
 
     def _stats(self) -> dict:
-        """Counters of merges completed so far (pending parts excluded)."""
+        """Counters of merges completed so far (pending parts excluded);
+        usually already prefetched by the post-merge async copies."""
         return {
+            "n_unique": np.asarray(self.state.n_unique).tolist(),
             "dropped": int(np.asarray(self.state.dropped)),
             "overflow": int(np.asarray(self.state.overflow)),
-            "n_unique": np.asarray(self.state.n_unique).tolist(),
         }
 
     def check(self) -> dict:

@@ -126,6 +126,11 @@ def _batch_extract_keys(codes: jnp.ndarray, k: int, m: int, B: int, use_pallas: 
     return tuple(jnp.where(ex.valid, ex.words[:, w], ones) for w in range(W))
 
 
+@jax.jit
+def _pack_stats(n_unique, overflow):
+    return jnp.stack([n_unique.astype(jnp.int32), overflow.astype(jnp.int32)])
+
+
 def _acc_merge(parts, acc):
     """One fused weighted merge: (raw/counted parts, accumulator) -> new
     accumulator at fixed capacity.
@@ -133,9 +138,8 @@ def _acc_merge(parts, acc):
     parts: tuple of (cols tuple, wts | None) — None means raw k-mer
     instances (weight 1 where non-sentinel), arrays mean pre-counted
     uniques.  acc: (cols, wts, n_unique, overflow).  Inputs are padded to
-    the next power of two so the compile set stays bounded; compaction is
-    binary-search gather (ops.count_sort.compact_by_mask), so the whole
-    merge contains exactly ONE sort.
+    a 64Ki granule so the compile set stays bounded; the merge is exactly
+    TWO sorts: one weighted count sort, one monotone-key compaction sort.
     """
     acc_cols, acc_wts, _acc_nu, acc_over = acc
     W = len(acc_cols)
@@ -162,10 +166,9 @@ def _acc_merge(parts, acc):
     if pad:
         wsegs.append(jnp.zeros(pad, jnp.int32))
     wts = jnp.concatenate(wsegs)
-    valid = mcols[W - 1] != ones
-    sc = count_sort.count_sorted(
-        jnp.stack(mcols, axis=1), None, valid, weights=wts, sentinel_safe=True
-    )
+    # all inputs are pre-sentineled with zero weights on sentinel rows —
+    # skip count_sorted's validity rewrite pass entirely
+    sc = count_sort.count_presentineled(mcols, weights=wts)
     # compaction to acc_cap: one more sort on a monotone float-to-front key.
     # A second sort, not a gather: on TPU a random gather costs ~9 ns/elem
     # (~3x a whole sort pass per binary-search step — benchmarks/primitives),
@@ -241,7 +244,10 @@ class DeviceAccumulator:
         self._acc_ub = 0  # conservative bound on accumulated uniques
         self._pend_ub = 0  # conservative bound on pending new uniques
         self.host_spills: list = []  # (words, counts, bins) np arrays
-        self._merge = jax.jit(_acc_merge, donate_argnums=(1,))
+        # donate BOTH the pending parts and the accumulator: during a merge
+        # the inputs are dead weight and the working set peaks at several
+        # times the table size — donation keeps it inside HBM
+        self._merge = jax.jit(_acc_merge, donate_argnums=(0, 1))
 
     def _init_state(self):
         cols = tuple(
@@ -269,6 +275,7 @@ class DeviceAccumulator:
             self.acc_cap = 1 << max(14, (2 * n_new_ub - 1).bit_length())
         if self.state is None:
             self.state = self._init_state()
+            self._stats_arr = None
         self._ensure_room(n_new_ub)
         self.pending.append(part)
         self.rows += int(part[0][0].shape[0])
@@ -284,6 +291,14 @@ class DeviceAccumulator:
         self.rows = 0
         self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
         self._pend_ub = 0
+        # pack the scalars and start the D2H copy NOW: by the time the host
+        # needs them for a spill decision the transfer has already landed
+        # (a synchronous scalar pull costs a full tunnel round trip)
+        self._stats_arr = _pack_stats(self.state[2], self.state[3])
+        try:
+            self._stats_arr.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def _ensure_room(self, incoming: int) -> None:
         if self._acc_ub + self._pend_ub + incoming <= self.acc_cap:
@@ -308,10 +323,11 @@ class DeviceAccumulator:
     def _stats(self) -> dict:
         if self.state is None:
             return {"n_unique": 0, "overflow": 0}
-        return {
-            "n_unique": int(np.asarray(self.state[2])),
-            "overflow": int(np.asarray(self.state[3])),
-        }
+        arr = getattr(self, "_stats_arr", None)
+        if arr is None:
+            arr = _pack_stats(self.state[2], self.state[3])
+        vals = np.asarray(arr)  # ONE transfer (usually already prefetched)
+        return {"n_unique": int(vals[0]), "overflow": int(vals[1])}
 
     def _raise_if_lost(self, stats: dict) -> None:
         if stats["overflow"]:
@@ -334,6 +350,7 @@ class DeviceAccumulator:
                 )
             )
         self.state = self._init_state()
+        self._stats_arr = None
         self._acc_ub = 0
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -13,6 +13,8 @@ from .test_extract import random_reads, to_batch
 CONFIGS = [
     (15, 4), (16, 15), (17, 5), (24, 12), (31, 10), (32, 10),
     (33, 14), (47, 8), (48, 6), (49, 13), (64, 10),
+    # beyond the Pallas range (W > 4): jnp extract path, any k
+    (75, 10), (97, 12),
 ]
 
 

@@ -50,7 +50,8 @@ def main() -> None:
         mesh = jax.make_mesh((n,), (exchange.AXIS,), devices=devs)
         R = reads_per_chip * n
         codes = rng.integers(0, 4, size=(R, L)).astype(np.uint8)
-        cap = int((L - k + 1) * reads_per_chip * 1.2 // n) + 64
+        # worst-case-safe: every k-mer of a chip could route to one owner
+        cap = (L - k + 1) * reads_per_chip
         owner = partitioner.hash_owner_map(B, n)
         step = exchange.build_distributed_count(mesh, k, m, B, cap, owner)
         sharded = exchange.shard_batch(mesh, codes)

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from ..core import jbits
 from ..core.bits import BASES_PER_WORD, num_words
-from . import windows
 
 
 def unpack_words(words: jnp.ndarray, k: int) -> jnp.ndarray:

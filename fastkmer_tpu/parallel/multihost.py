@@ -22,7 +22,6 @@ Host-side ingest sharding: each host reads a distinct stripe of the input
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 from . import exchange

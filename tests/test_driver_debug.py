@@ -103,3 +103,25 @@ def test_evaluate_partition_balance(tmp_path, dataset):
     stats = debug.evaluate_partition_balance(cfg, owner, out)
     assert os.path.exists(out)
     assert stats["total"] > 0 and len(stats["loads"]) == 4
+
+
+def test_execute_job_distributed_with_spills(tmp_path, dataset):
+    """A tiny acc_cap forces host spills mid-run; the table must still be
+    exact (the spill-merge path of the streaming driver)."""
+    import jax
+
+    from fastkmer_tpu.parallel import driver, exchange
+
+    fa, reads = dataset
+    mesh = jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/out_", k=28, m=10, max_b=64,
+        reads_per_batch=8, read_len=512, write=False,
+    )
+    res = driver.execute_job_distributed(
+        cfg, mesh, verbose=False, acc_cap=2048, fanin=1
+    )
+    expect = oracles.count_reads(reads, 28)
+    kmers = bits.decode_words_batch(res.words, 28)
+    got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+    assert got == dict(expect)

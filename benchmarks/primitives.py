@@ -24,7 +24,8 @@ def fence(x):
 
 def timeit(fn, *args, iters=5, warmup=2):
     for _ in range(warmup):
-        fence(fn(*args)[0] if isinstance(fn(*args), tuple) else fn(*args))
+        out = fn(*args)
+        fence(out[0] if isinstance(out, tuple) else out)
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):

@@ -55,11 +55,15 @@ def _load():
         f.argtypes = [u8p, ctypes.c_int64, u8p, i64p, ctypes.c_int64]
     lib.fk_encode.restype = ctypes.c_int64
     lib.fk_encode.argtypes = [u8p, ctypes.c_int64, u8p]
-    lib.fk_dump_lines.restype = ctypes.c_int64
-    lib.fk_dump_lines.argtypes = [
-        ctypes.POINTER(ctypes.c_uint32), i64p, ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_int32, u8p,
-    ]
+    try:  # symbol added later than the parsers: a stale .so (mtime newer
+        # than the source, e.g. copied artifacts) must degrade cleanly
+        lib.fk_dump_lines.restype = ctypes.c_int64
+        lib.fk_dump_lines.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), i64p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, u8p,
+        ]
+    except AttributeError:
+        lib.fk_dump_lines = None
     _lib = lib
     return _lib
 
@@ -106,7 +110,7 @@ def dump_lines(words: np.ndarray, counts: np.ndarray, k: int) -> bytes:
     """Decode packed k-mer rows + counts into ``<KMER>\\t<count>\\n`` bytes
     (the reference's per-bin line format) in one native pass."""
     lib = _load()
-    if lib is None:
+    if lib is None or lib.fk_dump_lines is None:
         raise RuntimeError("native library unavailable")
     words = np.ascontiguousarray(words, dtype=np.uint32)
     counts = np.ascontiguousarray(counts, dtype=np.int64)

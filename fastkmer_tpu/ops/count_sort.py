@@ -166,28 +166,6 @@ def count_presentineled(cols: list, weights: jnp.ndarray | None = None) -> Sorte
     )
 
 
-def compact_by_mask(keep: jnp.ndarray, cols: list, out_cap: int, fill=jnp.uint32(0xFFFFFFFF)):
-    """Gather rows where ``keep`` to the front of a [out_cap] buffer.
-
-    Order-preserving stream compaction without a sort or scatter (both the
-    wrong shape on TPU — a scatter serializes, a full sort costs hundreds of
-    comparator passes): the j-th kept row is at the first index where
-    cumsum(keep) == j+1, found by vectorized binary search.  uint32 columns
-    pad with ``fill`` (the sort sentinel), everything else with zeros.
-    Returns (compacted cols, n_kept scalar)."""
-    n_keep = jnp.sum(keep.astype(jnp.int32))
-    csum = jnp.cumsum(keep.astype(jnp.int32))
-    tgt = jnp.arange(out_cap, dtype=jnp.int32) + 1
-    pos = jnp.searchsorted(csum, tgt, side="left").astype(jnp.int32)
-    posc = jnp.minimum(pos, jnp.int32(keep.shape[0] - 1))
-    ok = tgt <= n_keep
-    out = []
-    for c in cols:
-        f = jnp.asarray(fill, c.dtype) if c.dtype == jnp.uint32 else jnp.zeros((), c.dtype)
-        out.append(jnp.where(ok, c[posc], f))
-    return out, n_keep
-
-
 def sentinel_safe_for(k: int) -> bool:
     """True when the last packed word has zero pad bits (k % 16 != 0), so
     the all-ones sentinel cannot collide with any real k-mer."""

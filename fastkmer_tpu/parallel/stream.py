@@ -213,9 +213,9 @@ class DistributedCounter:
                 overflow=acc.overflow + jax.lax.psum(over, AXIS),
             )
 
-        # donate the pending parts too: during a merge they are dead weight
-        # and the working set peaks at several times the table size
-        return jax.jit(merge, donate_argnums=(0, 2))
+        # donate only the accumulator: part buffers never alias any output
+        # shape, so donating them just emits 'unusable donation' warnings
+        return jax.jit(merge, donate_argnums=(2,))
 
     def _merge_pending(self) -> None:
         if not self.pending:
@@ -266,7 +266,9 @@ class DistributedCounter:
     def feed(self, codes: np.ndarray, n_reads: int = 0, n_bases: int = 0,
              seq_ids: np.ndarray | None = None) -> None:
         R, L = codes.shape
-        positions = R * max(L - self.k + 1, 0)  # global new-unique bound
+        # per-chip new-unique bound: a chip cannot receive more rows than
+        # its n*cap exchange lanes hold, nor more than the batch contains
+        positions = min(R * max(L - self.k + 1, 0), self.n * self.cap)
         self._ensure_room(positions)
         sharded = exchange.shard_batch(self.mesh, codes)
         if self.with_seq:
@@ -293,8 +295,10 @@ class DistributedCounter:
         }
 
     def check(self) -> dict:
-        """Merge pending parts and pull overflow scalars (cheap) to
-        validate capacities mid-run."""
+        """Flush pending parts into the accumulator, then return the
+        capacity counters.  NOTE: this forces a merge (one weighted sort +
+        one compaction sort, possibly at a sub-fanin part count) — poll
+        sparingly; the counters themselves are prefetched and cheap."""
         self._merge_pending()
         return self._stats()
 
@@ -326,9 +330,11 @@ class DistributedCounter:
         )
         parts = []
         # per-chip pulls via addressable shards (indexing a sharded axis in
-        # the global view would require ambiguous-sharding gathers)
-        shards = sorted(stacked.addressable_shards, key=lambda s: s.index[0].start or 0)
-        for c, shard in enumerate(shards):
+        # the global view would require ambiguous-sharding gathers); the
+        # chip id comes from the shard's GLOBAL index — on a multi-host
+        # mesh this process only addresses a subset of chips
+        for shard in stacked.addressable_shards:
+            c = shard.index[0].start or 0
             u = stats["n_unique"][c]
             if u == 0:
                 continue

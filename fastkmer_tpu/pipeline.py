@@ -172,7 +172,7 @@ def _acc_merge(parts, acc):
     # compaction to acc_cap: one more sort on a monotone float-to-front key.
     # A second sort, not a gather: on TPU a random gather costs ~9 ns/elem
     # (~3x a whole sort pass per binary-search step — benchmarks/primitives),
-    # so binary-search compaction (compact_by_mask) is 50x slower here.
+    # so binary-search compaction is ~50x slower here (BASELINE.md table).
     n_u = jnp.sum(sc.is_start.astype(jnp.int32))
     idx = jnp.arange(cap_in, dtype=jnp.int32)
     key = jnp.where(sc.is_start, idx, idx + jnp.int32(cap_in))
@@ -187,6 +187,12 @@ def _acc_merge(parts, acc):
     new_wts = jnp.where(keep, out[W + 1][:acc_cap], 0)
     over = jnp.maximum(n_u - acc_cap, 0)
     return (new_cols, new_wts, jnp.minimum(n_u, acc_cap), acc_over + over)
+
+
+# One shared jit wrapper (per-instance wrappers would re-trace every merge
+# variant per DeviceAccumulator).  Donate only the accumulator: part
+# buffers never alias any output shape.
+_MERGE_JIT = jax.jit(_acc_merge, donate_argnums=(1,))
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))
@@ -244,10 +250,7 @@ class DeviceAccumulator:
         self._acc_ub = 0  # conservative bound on accumulated uniques
         self._pend_ub = 0  # conservative bound on pending new uniques
         self.host_spills: list = []  # (words, counts, bins) np arrays
-        # donate BOTH the pending parts and the accumulator: during a merge
-        # the inputs are dead weight and the working set peaks at several
-        # times the table size — donation keeps it inside HBM
-        self._merge = jax.jit(_acc_merge, donate_argnums=(0, 1))
+        self._merge = _MERGE_JIT  # shared across instances: one trace cache
 
     def _init_state(self):
         cols = tuple(

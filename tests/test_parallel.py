@@ -118,28 +118,3 @@ def test_multihost_helpers_single_process():
     assert (lo, hi) == (0, 10)
     assert list(multihost.stripe_batches(range(5), n_hosts=1, host_id=0)) == [0, 1, 2, 3, 4]
     assert list(multihost.stripe_batches(range(5), n_hosts=2, host_id=1)) == [1, 3]
-
-
-def test_compact_by_mask_oracle():
-    """compact_by_mask == boolean-index + pad, for random masks and caps."""
-    import jax
-    import jax.numpy as jnp
-
-    from fastkmer_tpu.ops import count_sort
-
-    rng = np.random.default_rng(7)
-    for n, cap in [(1, 4), (64, 16), (64, 64), (257, 300), (1000, 128)]:
-        keep = rng.random(n) < 0.3
-        vals_u = rng.integers(0, 2**32, size=n, dtype=np.uint32)
-        vals_i = rng.integers(-100, 100, size=n).astype(np.int32)
-
-        fn = jax.jit(count_sort.compact_by_mask, static_argnames=("out_cap",))
-        (ou, oi), n_keep = fn(jnp.asarray(keep), [jnp.asarray(vals_u), jnp.asarray(vals_i)], out_cap=cap)
-        ou, oi, n_keep = np.asarray(ou), np.asarray(oi), int(n_keep)
-
-        assert n_keep == int(keep.sum())
-        take = min(n_keep, cap)
-        np.testing.assert_array_equal(ou[:take], vals_u[keep][:take])
-        np.testing.assert_array_equal(oi[:take], vals_i[keep][:take])
-        assert (ou[take:] == 0xFFFFFFFF).all()
-        assert (oi[take:] == 0).all()

@@ -158,3 +158,47 @@ def test_native_dump_lines_matches_python():
             for km, c in zip(bits.decode_words_batch(words, k), counts.tolist())
         )
         assert native.dump_lines(words, counts, k) == expect
+
+
+def test_dense_packing_exact_and_denser():
+    """Dense row packing must produce the identical count table as
+    row-per-read (separators split windows exactly like record
+    boundaries), using far fewer batches."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.core import bits
+    from fastkmer_tpu.ingest import batch as batching
+
+    from . import oracles
+
+    rng = np.random.default_rng(11)
+    k, m, B = 28, 10, 64
+    # mixed lengths incl. reads that exactly fill a row and tiny ones
+    lens = [150] * 40 + [512, 511, 29, 28, 63] + [150] * 15
+    reads = []
+    for L in lens:
+        s = "".join(rng.choice(list("ACGTACGTN"), L))
+        reads.append(s.encode())
+
+    def run(packer):
+        batches = list(packer((r for r in reads), 8, 512))
+        res = pipeline.count_batches(iter(batches), k, m, B)
+        return batches, res
+
+    b_dense, r_dense = run(batching.batch_codes_dense)
+    b_rows, r_rows = run(batching.batch_codes)
+
+    np.testing.assert_array_equal(r_dense.words, r_rows.words)
+    np.testing.assert_array_equal(r_dense.counts, r_rows.counts)
+    assert r_dense.n_reads == r_rows.n_reads == len(reads)
+    assert r_dense.n_bases == r_rows.n_bases == sum(lens)
+    assert len(b_dense) < len(b_rows), "dense packing should use fewer batches"
+
+    expect = oracles.count_reads([r.decode() for r in reads], k)
+    got = {
+        km.decode(): int(c)
+        for km, c in zip(bits.decode_words_batch(r_dense.words, k), r_dense.counts)
+    }
+    assert got == dict(expect)

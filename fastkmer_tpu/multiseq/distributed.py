@@ -82,8 +82,11 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
             row += 1
             if row == R:
                 ctr.feed(buf, n_reads=R, seq_ids=sid)
-                buf.fill(4)
-                sid.fill(0)
+                # fresh buffers: feed() dispatches asynchronously and on the
+                # CPU backend device_put aliases numpy memory zero-copy —
+                # mutating the old buffer here would race the exchange
+                buf = np.full((R, L), 4, dtype=np.uint8)
+                sid = np.zeros(R, dtype=np.int32)
                 row = 0
         if row:
             ctr.feed(buf, n_reads=row, seq_ids=sid)

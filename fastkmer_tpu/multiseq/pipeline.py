@@ -192,8 +192,10 @@ def execute_multiseq_job(cfg: MultiseqConfig, verbose: bool = True) -> MultiseqR
             n_rows += 1
             if row == R:
                 flush()
-                buf.fill(4)
-                sid.fill(0)
+                # fresh buffers: jnp.asarray may alias numpy memory on the
+                # CPU backend; never mutate a batch already handed to jax
+                buf = np.full((R, L), 4, dtype=np.uint8)
+                sid = np.zeros(R, dtype=np.int32)
                 row = 0
         if row:
             flush()

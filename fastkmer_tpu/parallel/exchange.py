@@ -237,7 +237,10 @@ def estimate_bin_sizes(mesh: Mesh, k: int, m: int, B: int):
 
 
 def shard_batch(mesh: Mesh, codes: np.ndarray):
-    """Place a [R, L] host batch row-sharded over the mesh."""
+    """Place a [R, L] host batch row-sharded over the mesh.
+
+    On the CPU backend device_put aliases the numpy buffer zero-copy, so
+    the caller must not mutate ``codes`` after this call."""
     return jax.device_put(codes, NamedSharding(mesh, P(AXIS, None)))
 
 

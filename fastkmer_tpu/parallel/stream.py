@@ -265,6 +265,9 @@ class DistributedCounter:
 
     def feed(self, codes: np.ndarray, n_reads: int = 0, n_bases: int = 0,
              seq_ids: np.ndarray | None = None) -> None:
+        """Dispatch one batch's exchange.  ``codes``/``seq_ids`` may be
+        aliased zero-copy by jax (CPU backend) and the dispatch is async:
+        the caller MUST NOT mutate them afterwards — pass fresh arrays."""
         R, L = codes.shape
         # per-chip new-unique bound: a chip cannot receive more rows than
         # its n*cap exchange lanes hold, nor more than the batch contains

@@ -39,6 +39,21 @@ class DistanceMeasure:
         """distanceOperator — sum for every measure shipped here."""
         return acc + cur
 
+    def bilinear_terms(self, C: np.ndarray):
+        """Optional matmul fast path for the pairwise accumulation.
+
+        ``C`` is a dense [groups, S] float64 count block (0 = k-mer absent
+        from that sequence).  Return a list of (F, G) arrays shaped like
+        ``C`` (and 0 at absent cells) such that the joint-pair correction
+
+            h(x, y) = partial(x, y) - partial(x, 0) - partial(0, y)
+
+        equals ``sum_r F[g, a] * G[g, b]`` for present cells — then the
+        S x S pair sums reduce to blocked ``F.T @ G`` Gram products (BLAS
+        on host, MXU on device) instead of an O(U*S) pairwise sweep.
+        Return None to use the generic fallback."""
+        return None
+
     def finalize(self, dist: float, num_el: int) -> float:
         return dist
 
@@ -64,6 +79,10 @@ class SquaredEuclidean(DistanceMeasure):
         d = np.asarray(c1, np.float64) - np.asarray(c2, np.float64)
         return d * d
 
+    def bilinear_terms(self, C):
+        # (x-y)^2 - x^2 - y^2 = -2xy
+        return [(C, -2.0 * C)]
+
 
 class KLDLog2(DistanceMeasure):
     """c1 * log2(c1/c2), zero when either count is zero (KLDLog2.java DKL)."""
@@ -74,14 +93,25 @@ class KLDLog2(DistanceMeasure):
     _log = staticmethod(np.log2)
 
     def partial(self, c1, c2):
-        c1 = np.asarray(c1, np.float64)
-        c2 = np.asarray(c2, np.float64)
+        # broadcast first: callers mix scalar-shaped zeros with count arrays
+        c1, c2 = np.broadcast_arrays(
+            np.asarray(c1, np.float64), np.asarray(c2, np.float64)
+        )
         both = (c1 != 0) & (c2 != 0)
-        out = np.zeros_like(c1)
+        out = np.zeros(both.shape, np.float64)
         np.divide(c1, c2, out=out, where=both)
-        res = np.zeros_like(c1)
+        res = np.zeros(both.shape, np.float64)
         res[both] = c1[both] * self._log(out[both])
         return res
+
+    def bilinear_terms(self, C):
+        # partial(x,0) = partial(0,y) = 0 (DKL guard), so
+        # h = x*log(x)*[y>0] - x*log(y); absent cells contribute 0 on
+        # both sides (C = 0 and log masked to 0).
+        present = C > 0
+        logC = np.zeros_like(C)
+        self._log(C, out=logC, where=present)
+        return [(C * logC, present.astype(np.float64)), (C, -logC)]
 
 
 class KLDLogN(KLDLog2):

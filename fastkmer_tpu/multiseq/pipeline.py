@@ -90,8 +90,19 @@ def accumulate_distances(
     measure: dist_mod.DistanceMeasure,
 ) -> np.ndarray:
     """D[a, b] = sum over distinct k-mers of partial(c_a, c_b), rows sorted
-    by (k-mer, seq).  Vectorized: joint pairs via neighbor offsets within
-    k-mer groups (each group has <= S rows), absent-side terms via totals.
+    by (k-mer, seq).
+
+    Identity used (both paths): with tot_a = sum_k partial(c_a, 0) over all
+    k-mers present in a (and tot_b the 0-left analogue),
+
+        D[a, b] = tot_a[a] + tot_b[b]
+                + sum over same-k-mer present pairs of
+                  h(c_a, c_b) = partial(c_a,c_b) - partial(c_a,0) - partial(0,c_b)
+
+    When the measure decomposes h bilinearly (bilinear_terms), the pair sum
+    is blocked dense [groups, S] count matrices reduced by F.T @ G Gram
+    matmuls — O(U*S) BLAS flops, no pairwise sweep; otherwise the generic
+    neighbor-offset sweep below handles arbitrary plug-in measures.
     """
     U = words.shape[0]
     D = np.zeros((S, S), np.float64)
@@ -103,7 +114,27 @@ def accumulate_distances(
     np.any(words[1:] != words[:-1], axis=1, out=kchange[1:])
     gid = np.cumsum(kchange) - 1  # k-mer group id per row
 
-    # joint-present pairs: rows i, j in the same group, i < j
+    if measure.bilinear_terms(np.zeros((0, S), np.float64)) is not None:
+        starts = np.flatnonzero(kchange)  # entry index of each group start
+        n_groups = starts.size
+        bounds = np.append(starts, U)
+        # ~8 MB float64 per dense block
+        group_block = max(1, (1 << 20) // max(S, 1))
+        for b0 in range(0, n_groups, group_block):
+            b1 = min(b0 + group_block, n_groups)
+            lo, hi = bounds[b0], bounds[b1]
+            C = np.zeros((b1 - b0, S), np.float64)
+            C[gid[lo:hi] - b0, seqs[lo:hi]] = counts[lo:hi]
+            for F, G in measure.bilinear_terms(C):
+                D += F.T @ G
+        zero = np.zeros_like(counts)
+        D += np.bincount(seqs, weights=measure.partial(counts, zero), minlength=S)[:, None]
+        D += np.bincount(seqs, weights=measure.partial(zero, counts), minlength=S)[None, :]
+        np.fill_diagonal(D, 0.0)
+        return D
+
+    # generic fallback: joint-present pairs via neighbor offsets within
+    # k-mer groups (each group has <= S rows)
     joint_partial = np.zeros((S, S), np.float64)  # sum partial(ci, cj) over joint
     joint_single_a = np.zeros((S, S), np.float64)  # sum partial(ci, 0) over joint
     joint_single_b = np.zeros((S, S), np.float64)  # sum partial(cj, 0) over joint

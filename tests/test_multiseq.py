@@ -71,6 +71,13 @@ def test_multiseq_job_matches_oracle(tmp_path, measure_name):
         return ["".join(rng.choice(list("ACGTACGTN"), size=L)) for _ in range(n)]
 
     seqs_reads = {"alpha": mk_reads(6, 90), "beta": mk_reads(5, 80), "gamma": mk_reads(4, 70)}
+    # shared + repeated motifs so sequences genuinely share k-mers (random
+    # 16-mers never collide across sequences, which would leave every
+    # joint-pair distance term untested — incl. the KLD both>0 guard)
+    backbone = mk_reads(1, 64)[0].replace("N", "A")
+    seqs_reads["alpha"].append(backbone + backbone[:32])
+    seqs_reads["beta"].append(backbone)
+    seqs_reads["gamma"].append(backbone[5:])
     fa = str(tmp_path / "multi.fa")
     write_multi_fasta(fa, seqs_reads)
 
@@ -173,3 +180,39 @@ def test_sra_accession_tagging(tmp_path):
     )
     res = execute_multiseq_job(cfg, verbose=False)
     assert res.sequence_names == ["SRR197985", "SRR956987"]
+
+
+@pytest.mark.parametrize(
+    "measure_name", ["squared_euclidean", "kld_log2", "kld_logn"]
+)
+def test_gram_fastpath_matches_generic_sweep(measure_name):
+    """The blocked F.T @ G Gram accumulation (bilinear_terms) must agree
+    with the generic neighbor-offset sweep on random (k-mer, seq, count)
+    tables — incl. S larger than the group block quantum and sparse
+    presence patterns."""
+    from fastkmer_tpu.multiseq.pipeline import accumulate_distances
+
+    measure = dm.get_measure(measure_name)
+
+    class GenericOnly(type(measure)):  # same partial, no fast path
+        def bilinear_terms(self, C):
+            return None
+
+    rng = np.random.default_rng(99)
+    for S, n_kmers in [(3, 40), (17, 500), (64, 200)]:
+        # random sorted unique-(k-mer, seq) table with random presence
+        rows = []
+        for g in range(n_kmers):
+            present = np.flatnonzero(rng.random(S) < 0.3)
+            for s in present:
+                rows.append((g, s, int(rng.integers(1, 9))))
+        if not rows:
+            continue
+        gid = np.array([r[0] for r in rows], np.int64)
+        words = np.stack([gid.astype(np.uint32), (gid * 7 + 1).astype(np.uint32)], 1)
+        seqs = np.array([r[1] for r in rows], np.int32)
+        counts = np.array([r[2] for r in rows], np.int64)
+
+        fast = accumulate_distances(words, seqs, counts, S, measure)
+        slow = accumulate_distances(words, seqs, counts, S, GenericOnly())
+        np.testing.assert_allclose(fast, slow, rtol=1e-12, atol=1e-12)

@@ -35,6 +35,19 @@ def supported(k: int) -> bool:
     return k <= 64
 
 
+def available(k: int) -> bool:
+    """True when the fused kernel should be used for real: TPU backend,
+    supported k, not disabled via FASTKMER_NO_PALLAS=1.  (Counting
+    additionally needs sentinel-safe k — pipeline.pallas_count_available.)"""
+    import os
+
+    return (
+        os.environ.get("FASTKMER_NO_PALLAS") != "1"
+        and jax.default_backend() not in ("cpu",)
+        and supported(k)
+    )
+
+
 _I = jnp.int32
 
 
@@ -183,11 +196,16 @@ def _mk_kernel(k: int, m: int, B: int, L: int, mode: str = "full"):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "m", "B", "block_rows", "interpret"))
+@partial(jax.jit, static_argnames=("k", "m", "B", "block_rows", "interpret", "vma"))
 def extract_pallas(
-    codes: jnp.ndarray, k: int, m: int, B: int, block_rows: int = 32, interpret: bool = False
+    codes: jnp.ndarray, k: int, m: int, B: int, block_rows: int = 32,
+    interpret: bool = False, vma: frozenset | None = None,
 ) -> Extracted:
-    """Drop-in replacement for ops.extract.extract (k <= 32)."""
+    """Drop-in replacement for ops.extract.extract (k <= 32).
+
+    ``vma``: when called inside a shard_map body, the set of mesh axis
+    names the inputs vary over (shard_map's check_vma requires pallas
+    out_shapes to declare it)."""
     assert supported(k)
     R, L = codes.shape
     assert L >= k
@@ -198,16 +216,18 @@ def extract_pallas(
     def bspec(dtype=None):
         return pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    def sds(dtype):
+        if vma is None:
+            return jax.ShapeDtypeStruct((R, L), dtype)
+        return jax.ShapeDtypeStruct((R, L), dtype, vma=vma)
+
     W = num_words(k)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[bspec()],
         out_specs=tuple(bspec() for _ in range(W + 3)),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((R, L), jnp.int32 if i == W else jnp.uint32)
-            for i in range(W + 3)
-        ),
+        out_shape=tuple(sds(jnp.int32 if i == W else jnp.uint32) for i in range(W + 3)),
         interpret=interpret,
     )(codes)
     word_arrs = outs[:W]

@@ -34,9 +34,32 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import count_sort, extract
+from ..ops import count_sort, extract, pallas_extract
 
 AXIS = "data"
+
+
+def _extract_fn(k: int, m: int, B: int, use_pallas: bool | None,
+                pallas_interpret: bool = False):
+    """Stage-1 extractor for shard_map bodies: the fused Pallas kernel on
+    TPU (one HBM read of the codes block instead of ~25 shifted-slice
+    passes), the jnp path elsewhere.  ``use_pallas=None`` auto-detects."""
+    if use_pallas is None:
+        use_pallas = pallas_extract.available(k)
+    if use_pallas:
+        # interpret mode (CPU parity tests) can't track vma through the
+        # interpreted kernel body — the enclosing shard_map must then be
+        # built with check_vma=False (see _check_vma)
+        vma = None if pallas_interpret else frozenset({AXIS})
+        return lambda codes: pallas_extract.extract_pallas(
+            codes, k, m, B, interpret=pallas_interpret, vma=vma
+        )
+    return lambda codes: extract.extract(codes, k, m, B)
+
+
+def _check_vma(pallas_interpret: bool) -> bool:
+    """shard_map check_vma flag: off only for interpret-mode Pallas tests."""
+    return not pallas_interpret
 
 
 class ShardCounts(NamedTuple):
@@ -93,11 +116,14 @@ def _all_to_all(x):
     return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0, tiled=True)
 
 
-def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_map: np.ndarray):
+def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_map: np.ndarray,
+                            use_pallas: bool | None = None, pallas_interpret: bool = False):
     """Returns jit(step): codes [R, L] (sharded over rows) -> ShardCounts.
 
     One fused device program per chip: extract -> route -> all_to_all ->
     sort-count of owned bins.  ``cap`` is the per-(src,dst) entry capacity.
+    Extraction uses the fused Pallas kernel on TPU (``use_pallas=None``
+    auto-detects; ``pallas_interpret`` exists for CPU parity tests).
 
     The owner table rides as a replicated *argument*, not a closure
     constant: jax materializes closed-over device arrays during lowering,
@@ -105,6 +131,7 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
     """
     n = mesh.shape[AXIS]
     owner_arr = np.asarray(owner_map, dtype=np.int32)
+    extract_step = _extract_fn(k, m, B, use_pallas, pallas_interpret)
 
     @partial(
         jax.shard_map,
@@ -114,11 +141,12 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
             words=P(AXIS), bins=P(AXIS), is_start=P(AXIS), counts=P(AXIS),
             n_valid=P(AXIS), dropped=P(),
         ),
+        check_vma=_check_vma(pallas_interpret),
     )
     def step(codes: jnp.ndarray, owner_tab: jnp.ndarray) -> ShardCounts:
         from ..ops import binhash
 
-        ex = extract.extract(codes, k, m, B)
+        ex = extract_step(codes)
         W = ex.words.shape[1]
         owner = owner_tab[ex.bins]
         # no bin lane: the owner recomputes bins from the words it receives
@@ -218,7 +246,8 @@ def exchange_bytes_per_step(n: int, cap: int, k: int, smax: int | None = None) -
     return n * cap * lanes * 4
 
 
-def estimate_bin_sizes(mesh: Mesh, k: int, m: int, B: int):
+def estimate_bin_sizes(mesh: Mesh, k: int, m: int, B: int,
+                       use_pallas: bool | None = None, pallas_interpret: bool = False):
     """jit fn: codes [R, L] sharded -> int32[B] global per-bin k-mer counts.
 
     The TPU form of the sampled pre-pass
@@ -226,10 +255,12 @@ def estimate_bin_sizes(mesh: Mesh, k: int, m: int, B: int):
     SparkBinKmerCounter.scala:172-288, 1024): run it on a sampled subset of
     batches, feed the result to partitioner.lpt_owner_map.
     """
+    extract_step = _extract_fn(k, m, B, use_pallas, pallas_interpret)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(AXIS, None), out_specs=P())
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(AXIS, None), out_specs=P(),
+             check_vma=_check_vma(pallas_interpret))
     def est(codes: jnp.ndarray) -> jnp.ndarray:
-        ex = extract.extract(codes, k, m, B)
+        ex = extract_step(codes)
         hist = count_sort.bin_histogram(ex.bins, ex.valid, B)
         return jax.lax.psum(hist, AXIS)
 

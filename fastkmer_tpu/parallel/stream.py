@@ -48,7 +48,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.bits import num_words
-from ..ops import binhash, count_sort, extract
+from ..ops import binhash, count_sort
 from . import exchange
 
 AXIS = exchange.AXIS
@@ -77,7 +77,8 @@ class DistributedCounter:
     """
 
     def __init__(self, mesh: Mesh, k: int, m: int, B: int, cap: int, acc_cap: int,
-                 owner_map: np.ndarray, fanin: int = 4, with_seq: bool = False):
+                 owner_map: np.ndarray, fanin: int = 4, with_seq: bool = False,
+                 use_pallas: bool | None = None, pallas_interpret: bool = False):
         assert count_sort.sentinel_safe_for(k) or with_seq, (
             "streaming counter needs k % 16 != 0 (or a seq lane, which is "
             "itself sentinel-safe)"
@@ -92,8 +93,11 @@ class DistributedCounter:
         self.acc_cap = acc_cap
         self.fanin = fanin
         self.owner = np.asarray(owner_map, dtype=np.int32)
+        self._extract = exchange._extract_fn(k, m, B, use_pallas, pallas_interpret)
+        self._check_vma = exchange._check_vma(pallas_interpret)
         self._exchange = self._build_exchange()
         self._merge_cache: dict[int, callable] = {}
+        self._stack = None  # built lazily (first table pull)
         self.state = self._init_state()
         self.pending: list = []  # [(cols tuple [n, n*cap], ndrop)]
         self.host_spills: list = []  # (words, counts, bins) np arrays
@@ -127,10 +131,11 @@ class DistributedCounter:
             mesh=self.mesh,
             in_specs=in_specs,
             out_specs=(tuple(P(AXIS) for _ in range(W)), P()),
+            check_vma=self._check_vma,
         )
         def ex_step(codes, *rest):
             owner_tab = rest[-1]
-            ex = extract.extract(codes, k, m, B)
+            ex = self._extract(codes)
             owner = owner_tab[ex.bins]
             cols = [jnp.where(ex.valid, ex.words[:, w], _ONES) for w in range(Wk)]
             if with_seq:
@@ -328,9 +333,9 @@ class DistributedCounter:
     def _pull_tables(self, stats: dict) -> list:
         if not any(stats["n_unique"]):
             return []
-        stacked = _stack_all(
-            self.state.words, self.state.wts, self.k, self.m, self.B, self.Wk
-        )
+        if self._stack is None:
+            self._stack = _build_stack_all(self.mesh, self.k, self.m, self.B, self.Wk)
+        stacked = self._stack(self.state.words, self.state.wts)
         parts = []
         # per-chip pulls via addressable shards (indexing a sharded axis in
         # the global view would require ambiguous-sharding gathers); the
@@ -371,18 +376,23 @@ class DistributedCounter:
         return base.merge_partials(parts, self.W)
 
 
-@partial(jax.jit, static_argnames=("k", "m", "B", "Wk"))
-def _stack_all(
-    words: jnp.ndarray, wts: jnp.ndarray, k: int, m: int, B: int, Wk: int
-) -> jnp.ndarray:
-    """[n, acc_cap, W] + [n, acc_cap] -> [n, acc_cap, W+2] uint32 with bins.
+def _build_stack_all(mesh: Mesh, k: int, m: int, B: int, Wk: int):
+    """jit fn: [n, acc_cap, W] words + [n, acc_cap] wts -> [n, acc_cap, W+2]
+    uint32 with bins appended.  A shard_map: bins are recomputed per chip
+    from its own words (no cross-shard reshape — a global-view reshape over
+    the sharded axis both moves data and, under explicit-sharding meshes,
+    produces concat operands with mismatched shardings).
 
     ``Wk`` = k-mer word count; bins are a function of the k-mer words only
     (any trailing seq lane is excluded from the hash)."""
-    n, acc_cap, W = words.shape
-    flat = words.reshape(n * acc_cap, W)
-    bins = binhash.bins_from_words(flat[:, :Wk], k, m, B).reshape(n, acc_cap)
-    return jnp.concatenate(
-        [words, wts.astype(jnp.uint32)[..., None], bins.astype(jnp.uint32)[..., None]],
-        axis=2,
-    )
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS))
+    def stack(words, wts):
+        flat = words[0]  # [acc_cap, W] local
+        bins = binhash.bins_from_words(flat[:, :Wk], k, m, B)
+        return jnp.concatenate(
+            [flat, wts[0][:, None].astype(jnp.uint32), bins[:, None].astype(jnp.uint32)],
+            axis=1,
+        )[None]
+
+    return jax.jit(stack)

@@ -29,12 +29,23 @@ def write_bin_files(
     bins: np.ndarray,
     k: int,
     eof_sentinel: bool = True,
+    clean: bool = True,
 ) -> int:
     """Write unique k-mers grouped per bin.  ``words`` rows must be in
     ascending k-mer order (the device sort already guarantees this);
     a stable argsort on bins preserves that order within each bin.
-    Returns the number of bin files written."""
+    Returns the number of bin files written.
+
+    With ``clean`` (the default), pre-existing ``bin*`` files are removed
+    first: re-running a job into the same output directory must not leave
+    stale bins behind (the manifest only checks bins the NEW run produced,
+    so stale files would silently corrupt the directory's k-mer set).
+    Partial rewrites (pipeline.repair_output) pass clean=False."""
     os.makedirs(out_dir, exist_ok=True)
+    if clean:
+        for name in os.listdir(out_dir):
+            if name.startswith("bin") and name[3:].isdigit():
+                os.remove(os.path.join(out_dir, name))
     if words.shape[0] == 0:
         return 0
     order = np.argsort(bins, kind="stable")

@@ -39,13 +39,29 @@ from ..ops import count_sort, extract, pallas_extract
 AXIS = "data"
 
 
-def _extract_fn(k: int, m: int, B: int, use_pallas: bool | None,
+def resolve_use_pallas(k: int, mesh: Mesh | None, use_pallas: bool | None) -> bool:
+    """Resolve the Pallas auto-detect against the mesh's OWN devices, not
+    jax.default_backend(): a CPU-device mesh in a process whose default
+    backend is a TPU must not select the Mosaic kernel (it would fail at
+    lowering for those devices)."""
+    if use_pallas is not None:
+        return use_pallas
+    import os
+
+    if os.environ.get("FASTKMER_NO_PALLAS") == "1":
+        return False
+    platform = (
+        mesh.devices.flat[0].platform if mesh is not None else jax.default_backend()
+    )
+    return platform not in ("cpu",) and pallas_extract.supported(k)
+
+
+def _extract_fn(k: int, m: int, B: int, use_pallas: bool,
                 pallas_interpret: bool = False):
     """Stage-1 extractor for shard_map bodies: the fused Pallas kernel on
     TPU (one HBM read of the codes block instead of ~25 shifted-slice
-    passes), the jnp path elsewhere.  ``use_pallas=None`` auto-detects."""
-    if use_pallas is None:
-        use_pallas = pallas_extract.available(k)
+    passes), the jnp path elsewhere.  ``use_pallas`` must be resolved
+    (resolve_use_pallas) — no auto-detection here."""
     if use_pallas:
         # interpret mode (CPU parity tests) can't track vma through the
         # interpreted kernel body — the enclosing shard_map must then be
@@ -57,9 +73,12 @@ def _extract_fn(k: int, m: int, B: int, use_pallas: bool | None,
     return lambda codes: extract.extract(codes, k, m, B)
 
 
-def _check_vma(pallas_interpret: bool) -> bool:
-    """shard_map check_vma flag: off only for interpret-mode Pallas tests."""
-    return not pallas_interpret
+def _check_vma(use_pallas: bool, pallas_interpret: bool) -> bool:
+    """shard_map check_vma flag: off ONLY when the interpret-mode Pallas
+    extractor is actually selected (interpretation can't track vma); the
+    plain jnp extractor keeps vma checking on even in interpret-requested
+    test configurations."""
+    return not (use_pallas and pallas_interpret)
 
 
 class ShardCounts(NamedTuple):
@@ -131,6 +150,7 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
     """
     n = mesh.shape[AXIS]
     owner_arr = np.asarray(owner_map, dtype=np.int32)
+    use_pallas = resolve_use_pallas(k, mesh, use_pallas)
     extract_step = _extract_fn(k, m, B, use_pallas, pallas_interpret)
 
     @partial(
@@ -141,7 +161,7 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
             words=P(AXIS), bins=P(AXIS), is_start=P(AXIS), counts=P(AXIS),
             n_valid=P(AXIS), dropped=P(),
         ),
-        check_vma=_check_vma(pallas_interpret),
+        check_vma=_check_vma(use_pallas, pallas_interpret),
     )
     def step(codes: jnp.ndarray, owner_tab: jnp.ndarray) -> ShardCounts:
         from ..ops import binhash
@@ -255,10 +275,11 @@ def estimate_bin_sizes(mesh: Mesh, k: int, m: int, B: int,
     SparkBinKmerCounter.scala:172-288, 1024): run it on a sampled subset of
     batches, feed the result to partitioner.lpt_owner_map.
     """
+    use_pallas = resolve_use_pallas(k, mesh, use_pallas)
     extract_step = _extract_fn(k, m, B, use_pallas, pallas_interpret)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(AXIS, None), out_specs=P(),
-             check_vma=_check_vma(pallas_interpret))
+             check_vma=_check_vma(use_pallas, pallas_interpret))
     def est(codes: jnp.ndarray) -> jnp.ndarray:
         ex = extract_step(codes)
         hist = count_sort.bin_histogram(ex.bins, ex.valid, B)

@@ -93,8 +93,9 @@ class DistributedCounter:
         self.acc_cap = acc_cap
         self.fanin = fanin
         self.owner = np.asarray(owner_map, dtype=np.int32)
+        use_pallas = exchange.resolve_use_pallas(k, mesh, use_pallas)
         self._extract = exchange._extract_fn(k, m, B, use_pallas, pallas_interpret)
-        self._check_vma = exchange._check_vma(pallas_interpret)
+        self._check_vma = exchange._check_vma(use_pallas, pallas_interpret)
         self._exchange = self._build_exchange()
         self._merge_cache: dict[int, callable] = {}
         self._stack = None  # built lazily (first table pull)
@@ -376,6 +377,14 @@ class DistributedCounter:
         return base.merge_partials(parts, self.W)
 
 
+# module-level cache: one trace per (mesh, k, m, B, Wk) across
+# DistributedCounter instances — retraces through the remote compile hop
+# are expensive (CLAUDE.md), so instances must share stacks like they share
+# merges (_merge_cache bounds compiles per instance; this bounds them
+# globally).
+_STACK_CACHE: dict[tuple, callable] = {}
+
+
 def _build_stack_all(mesh: Mesh, k: int, m: int, B: int, Wk: int):
     """jit fn: [n, acc_cap, W] words + [n, acc_cap] wts -> [n, acc_cap, W+2]
     uint32 with bins appended.  A shard_map: bins are recomputed per chip
@@ -385,6 +394,9 @@ def _build_stack_all(mesh: Mesh, k: int, m: int, B: int, Wk: int):
 
     ``Wk`` = k-mer word count; bins are a function of the k-mer words only
     (any trailing seq lane is excluded from the hash)."""
+    key = (mesh, k, m, B, Wk)
+    if key in _STACK_CACHE:
+        return _STACK_CACHE[key]
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS))
     def stack(words, wts):
@@ -395,4 +407,6 @@ def _build_stack_all(mesh: Mesh, k: int, m: int, B: int, Wk: int):
             axis=1,
         )[None]
 
-    return jax.jit(stack)
+    fn = jax.jit(stack)
+    _STACK_CACHE[key] = fn
+    return fn

@@ -563,7 +563,7 @@ def repair_output(cfg: JobConfig, verbose: bool = True) -> dict:
     sel = np.isin(res.bins, list(bad))
     writer.write_bin_files(
         cfg.output_dir, res.words[sel], res.counts[sel], res.bins[sel], cfg.k,
-        eof_sentinel=not cfg.use_ht,
+        eof_sentinel=not cfg.use_ht, clean=False,  # partial rewrite
     )
     return manifest_mod.verify_output(cfg.output_dir)
 

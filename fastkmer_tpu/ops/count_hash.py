@@ -65,7 +65,7 @@ def fingerprint(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def count_hashed(
     words: jnp.ndarray,
-    bins: jnp.ndarray,
+    bins: jnp.ndarray | None,
     valid: jnp.ndarray,
     weights: jnp.ndarray | None = None,
 ):
@@ -75,18 +75,23 @@ def count_hashed(
     result are run-head words (== each row's words when no collision).
     Output rows are in fingerprint order, NOT k-mer order — callers that
     need k-mer order (the writer) sort on host.
+
+    ``bins`` is an optional carried column; pass None and recompute from
+    the result words (ops.binhash.bins_from_words) to keep one column out
+    of every sort pass — the returned SortedCounts.bins is then None.
     """
     N, W = words.shape
     hi, lo = fingerprint(words)
     flag = jnp.where(valid, _U(0), _U(1))
     w_in = jnp.ones(N, jnp.int32) if weights is None else weights.astype(jnp.int32)
     w_in = jnp.where(valid, w_in, 0)
-    ops = (flag, hi, lo) + tuple(words[:, w] for w in range(W)) + (bins, w_in)
+    bcols = () if bins is None else (bins,)
+    ops = (flag, hi, lo) + tuple(words[:, w] for w in range(W)) + bcols + (w_in,)
     out = jax.lax.sort(ops, num_keys=3, is_stable=False)
     sflag, shi, slo = out[0], out[1], out[2]
     swords = out[3 : 3 + W]
-    sbins = out[3 + W]
-    sw = out[4 + W]
+    sbins = out[3 + W] if bins is not None else None
+    sw = out[-1]
     svalid = sflag == _U(0)
 
     first = jnp.ones(1, dtype=bool)

@@ -105,7 +105,14 @@ def execute_job_distributed(
         cap = positions if not smer_transport else (positions + 1)
 
     if streaming is None:
-        streaming = not smer_transport and count_sort.sentinel_safe_for(cfg.k)
+        # the HT engine counts per batch on the received rows (the device
+        # form of extractKXmersHT's per-bin tables); the streaming deferred
+        # accumulator is a sort-engine design
+        streaming = (
+            not smer_transport
+            and not cfg.use_ht
+            and count_sort.sentinel_safe_for(cfg.k)
+        )
     if streaming:
         if acc_cap is None:
             # room for ~2 batches of all-distinct k-mers per chip before a
@@ -136,12 +143,15 @@ def execute_job_distributed(
             mesh, cfg.k, cfg.m, cfg.b, cap, smax, owner_map
         )
     else:
-        step = exchange.build_distributed_count(mesh, cfg.k, cfg.m, cfg.b, cap, owner_map)
+        step = exchange.build_distributed_count(
+            mesh, cfg.k, cfg.m, cfg.b, cap, owner_map, use_ht=cfg.use_ht
+        )
 
     per_chip_parts: list[list] = [[] for _ in range(n)]
     n_reads = 0
     n_bases = 0
     n_steps = 0
+    collisions = []  # device scalars; checked ONCE at finalize (no per-batch sync)
     for codes, nr, nb in batches():
         with timer.span("device_step"):
             sc = step(exchange.shard_batch(mesh, codes))
@@ -150,12 +160,24 @@ def execute_job_distributed(
             raise RuntimeError(
                 f"exchange capacity overflow: {dropped} entries dropped; raise cap (= {cap})"
             )
+        collisions.append(sc.collision)
         with timer.span("host_compact"):
             for c, part in enumerate(exchange.compact_shard_counts(sc)):
                 per_chip_parts[c].append(part)
         n_reads += nr
         n_bases += nb
         n_steps += 1
+    if cfg.use_ht and collisions:
+        import jax.numpy as jnp
+
+        # one stacked pull for the whole run (scalar pulls cost a full
+        # round trip each through remote-device tunnels)
+        if int(np.asarray(jnp.stack(collisions)).max()):
+            from ..ops.count_hash import FingerprintCollision
+
+            raise FingerprintCollision(
+                "64-bit fingerprint collision on the mesh; re-run with useHT=0"
+            )
 
     W = num_words(cfg.k)
     from .. import pipeline as base

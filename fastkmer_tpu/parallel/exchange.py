@@ -90,6 +90,8 @@ class ShardCounts(NamedTuple):
     counts:   [n, S]
     n_valid:  [n]        counted instances per chip
     dropped:  []         total entries dropped by capacity overflow (global)
+    collision:[]         HT engine: fingerprint collisions detected (global;
+                         always 0 for the sort engine)
     """
 
     words: jnp.ndarray
@@ -98,6 +100,7 @@ class ShardCounts(NamedTuple):
     counts: jnp.ndarray
     n_valid: jnp.ndarray
     dropped: jnp.ndarray
+    collision: jnp.ndarray
 
 
 def route_by_owner(owner, valid, cols: tuple, n: int, cap: int):
@@ -136,13 +139,22 @@ def _all_to_all(x):
 
 
 def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_map: np.ndarray,
-                            use_pallas: bool | None = None, pallas_interpret: bool = False):
+                            use_pallas: bool | None = None, pallas_interpret: bool = False,
+                            use_ht: bool = False):
     """Returns jit(step): codes [R, L] (sharded over rows) -> ShardCounts.
 
     One fused device program per chip: extract -> route -> all_to_all ->
-    sort-count of owned bins.  ``cap`` is the per-(src,dst) entry capacity.
-    Extraction uses the fused Pallas kernel on TPU (``use_pallas=None``
-    auto-detects; ``pallas_interpret`` exists for CPU parity tests).
+    per-chip count of owned bins.  ``cap`` is the per-(src,dst) entry
+    capacity.  Extraction uses the fused Pallas kernel on TPU
+    (``use_pallas=None`` auto-detects; ``pallas_interpret`` exists for CPU
+    parity tests).
+
+    ``use_ht`` selects the HT engine (useHT=1) on the received rows —
+    fingerprint-keyed counting (ops.count_hash), completing the reference
+    orchestrator's 2x2 {sort,HT} x {hash,LPT} matrix on the mesh
+    (SparkBinKmerCounter.scala:1031-1044).  Collisions are psum'd into
+    ShardCounts.collision; the driver checks once at finalize (they exist
+    to be astronomically rare — no per-batch device sync).
 
     The owner table rides as a replicated *argument*, not a closure
     constant: jax materializes closed-over device arrays during lowering,
@@ -159,7 +171,7 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
         in_specs=(P(AXIS, None), P()),
         out_specs=ShardCounts(
             words=P(AXIS), bins=P(AXIS), is_start=P(AXIS), counts=P(AXIS),
-            n_valid=P(AXIS), dropped=P(),
+            n_valid=P(AXIS), dropped=P(), collision=P(),
         ),
         check_vma=_check_vma(use_pallas, pallas_interpret),
     )
@@ -175,15 +187,23 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
         # exchange: row block [d*cap:(d+1)*cap) goes to chip d
         recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
         rw = jnp.stack(recv[:W], axis=1)
-        rok = recv[W]
-        sc = count_sort.count_sorted(
-            rw, None, rok == jnp.uint32(1), sentinel_safe=count_sort.sentinel_safe_for(k)
-        )
+        rok = recv[W] == jnp.uint32(1)
+        if use_ht:
+            from ..ops import count_hash
+
+            sc, coll = count_hash.count_hashed(rw, None, rok)
+            collision = jax.lax.psum(coll.astype(jnp.int32), AXIS)
+        else:
+            sc = count_sort.count_sorted(
+                rw, None, rok, sentinel_safe=count_sort.sentinel_safe_for(k)
+            )
+            collision = jax.lax.psum(jnp.int32(0), AXIS)
         sc = sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
         dropped = jax.lax.psum(ndrop, AXIS)
         return ShardCounts(
             words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],
             counts=sc.counts[None], n_valid=sc.n_valid[None], dropped=dropped,
+            collision=collision,
         )
 
     jitted = jax.jit(step)
@@ -214,7 +234,7 @@ def build_distributed_count_smer(
         in_specs=(P(AXIS, None), P()),
         out_specs=ShardCounts(
             words=P(AXIS), bins=P(AXIS), is_start=P(AXIS), counts=P(AXIS),
-            n_valid=P(AXIS), dropped=P(),
+            n_valid=P(AXIS), dropped=P(), collision=P(),
         ),
     )
     def step(codes: jnp.ndarray, owner_tab: jnp.ndarray) -> ShardCounts:
@@ -246,6 +266,7 @@ def build_distributed_count_smer(
         return ShardCounts(
             words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],
             counts=sc.counts[None], n_valid=sc.n_valid[None], dropped=dropped,
+            collision=jax.lax.psum(jnp.int32(0), AXIS),
         )
 
     jitted = jax.jit(step)

@@ -93,12 +93,20 @@ def pallas_count_available(k: int) -> bool:
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))
-def _batch_count_ht(codes: jnp.ndarray, k: int, m: int, B: int):
-    """HT-engine device step (useHT=1): fingerprint-keyed counting."""
-    from .ops import count_hash
+def _batch_count_ht(codes: jnp.ndarray, coll_in: jnp.ndarray, k: int, m: int, B: int):
+    """HT-engine device step (useHT=1): fingerprint-keyed counting.
+
+    The collision flag is ACCUMULATED on device (coll_in | batch collision)
+    and checked once at finalize — a per-batch bool() pull would cost a
+    full device round trip per step (collisions exist to be astronomically
+    rare).  Bins ride no sort lane; they are recomputed from the run-head
+    words (ops.binhash)."""
+    from .ops import binhash, count_hash
 
     ex = extract.extract(codes, k, m, B)
-    return count_hash.count_hashed(ex.words, ex.bins, ex.valid)
+    sc, coll = count_hash.count_hashed(ex.words, None, ex.valid)
+    sc = sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
+    return sc, coll_in | coll
 
 
 @partial(jax.jit, static_argnames=())
@@ -438,6 +446,7 @@ def count_batches(
         and checkpointer is None
     )
     acc = DeviceAccumulator(k, m=m, B=B) if device_accumulate else None
+    coll_flag = jnp.zeros((), bool) if engine == "hash" else None
     for batch_idx, (codes, nr, nb) in enumerate(batches):
         if batch_idx < skip:  # already counted before the interruption
             n_reads += nr
@@ -445,13 +454,7 @@ def count_batches(
             continue
         with timer.span("device_count"):
             if engine == "hash":
-                sc, collision = _batch_count_ht(jnp.asarray(codes), k, m, B)
-                if bool(collision):
-                    from .ops.count_hash import FingerprintCollision
-
-                    raise FingerprintCollision(
-                        "64-bit fingerprint collision; re-run with the sort engine"
-                    )
+                sc, coll_flag = _batch_count_ht(jnp.asarray(codes), coll_flag, k, m, B)
             elif acc is not None:
                 # deferred path: stage-1 extract only; the accumulator's
                 # fan-in merge does all the sorting
@@ -472,6 +475,12 @@ def count_batches(
                     checkpointer.save_batch(batch_idx, *part)
         n_reads += nr
         n_bases += nb
+    if coll_flag is not None and bool(np.asarray(coll_flag)):
+        from .ops.count_hash import FingerprintCollision
+
+        raise FingerprintCollision(
+            "64-bit fingerprint collision; re-run with the sort engine"
+        )
     with timer.span("merge"):
         if acc is not None:
             words, counts, bins = acc.finalize()

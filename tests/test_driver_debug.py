@@ -26,8 +26,15 @@ def dataset(tmp_path):
     return fa, reads
 
 
-@pytest.mark.parametrize("smer,custom_part", [(False, False), (False, True), (True, False)])
-def test_execute_job_distributed(tmp_path, dataset, smer, custom_part):
+@pytest.mark.parametrize(
+    "smer,custom_part,use_ht",
+    [(False, False, False), (False, True, False), (True, False, False),
+     (False, False, True), (False, True, True)],
+)
+def test_execute_job_distributed(tmp_path, dataset, smer, custom_part, use_ht):
+    """The full 2x2 {sort,HT} x {hash,LPT} matrix on the mesh (reference
+    orchestrator: SparkBinKmerCounter.scala:1031-1044) plus the smer
+    transport: all must produce the identical exact table."""
     import jax
 
     from fastkmer_tpu.parallel import driver, exchange
@@ -36,7 +43,7 @@ def test_execute_job_distributed(tmp_path, dataset, smer, custom_part):
     mesh = jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
     cfg = JobConfig(
         dataset=fa, output_directory=str(tmp_path) + "/out_", k=28, m=10, max_b=64,
-        reads_per_batch=16, read_len=512,
+        reads_per_batch=16, read_len=512, use_ht=use_ht,
         use_custom_partitioner=custom_part, num_partition_tasks=8,
     )
     res = driver.execute_job_distributed(cfg, mesh, smer_transport=smer, verbose=False)

@@ -99,10 +99,26 @@ def execute_job_distributed(
         owner_map = partitioner.hash_owner_map(cfg.b, n)
         balance = {"sampled": False}  # no histogram on the hash-owner path
 
-    # --- capacity: worst-case per-(src,dst) entries unless caller sized it ---
+    # --- capacity: histogram-share-sized (slack 2x, retried on overflow).
+    # The reference's extraction-time upper bound sizes its reduce-side
+    # tables (getSuperKmersWithBinSizes, SparkBinKmerCounter.scala:290-426);
+    # here the sampled histogram sizes the all-to-all buffers, so exchange
+    # bytes track actual load instead of the n-fold worst case. ---
     positions = (R // n) * (L - cfg.k + 1)
+    cap_limit = positions if not smer_transport else (positions + 1)
     if cap is None:
-        cap = positions if not smer_transport else (positions + 1)
+        if not hist.any():
+            # hash-owner path: sample ONE batch for capacity sizing
+            est = exchange.estimate_bin_sizes(mesh, cfg.k, cfg.m, cfg.b)
+            with timer.span("cap_sizing"):
+                for codes, _, _ in batches():
+                    hist += np.asarray(
+                        est(exchange.shard_batch(mesh, codes)), dtype=np.int64
+                    )
+                    break
+        cap = partitioner.size_exchange_cap(hist, owner_map, n, positions)
+        if smer_transport:
+            cap = min(cap + 1, cap_limit)  # records <= k-mers per (src,dst)
 
     if streaming is None:
         # the HT engine counts per batch on the received rows (the device
@@ -122,51 +138,64 @@ def execute_job_distributed(
             mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap,
             owner_map=owner_map, fanin=fanin,
         )
-        n_steps = 0
         for codes, nr, nb in batches():
             with timer.span("device_step"):
                 ctr.feed(codes, n_reads=nr, n_bases=nb)
-            n_steps += 1
         with timer.span("merge"):
             words, counts, bins = ctr.finalize()
         if cfg.write:
             with timer.span("write_output"):
                 _write_output(cfg, words, counts, bins)
-        xbytes = n_steps * exchange.exchange_bytes_per_step(n, cap, cfg.k, None)
         return DistributedResult(
             words, counts, bins, int(counts.sum()), ctr.n_bases, ctr.n_reads,
-            owner_map, balance, xbytes, timer.as_dict(),
+            owner_map, balance, ctr.exchange_bytes, timer.as_dict(),
         )
 
-    if smer_transport:
-        step = exchange.build_distributed_count_smer(
-            mesh, cfg.k, cfg.m, cfg.b, cap, smax, owner_map
-        )
-    else:
-        step = exchange.build_distributed_count(
-            mesh, cfg.k, cfg.m, cfg.b, cap, owner_map, use_ht=cfg.use_ht
+    def build_step(c: int):
+        if smer_transport:
+            return exchange.build_distributed_count_smer(
+                mesh, cfg.k, cfg.m, cfg.b, c, smax, owner_map
+            )
+        return exchange.build_distributed_count(
+            mesh, cfg.k, cfg.m, cfg.b, c, owner_map, use_ht=cfg.use_ht
         )
 
+    step = build_step(cap)
     per_chip_parts: list[list] = [[] for _ in range(n)]
     n_reads = 0
     n_bases = 0
-    n_steps = 0
+    xbytes = 0
     collisions = []  # device scalars; checked ONCE at finalize (no per-batch sync)
     for codes, nr, nb in batches():
         with timer.span("device_step"):
-            sc = step(exchange.shard_batch(mesh, codes))
-        dropped = int(sc.dropped)
-        if dropped:
-            raise RuntimeError(
-                f"exchange capacity overflow: {dropped} entries dropped; raise cap (= {cap})"
+            sharded = exchange.shard_batch(mesh, codes)
+            sc = step(sharded)
+        # each batch is independent on this path, so overflow recovery is a
+        # straight resize-and-retry of the same (immutable) sharded batch
+        while int(sc.dropped):
+            if cap >= cap_limit:
+                raise RuntimeError(
+                    f"exchange overflow at worst-case cap={cap}: "
+                    f"{int(sc.dropped)} entries dropped"
+                )
+            xbytes += exchange.exchange_bytes_per_step(
+                n, cap, cfg.k, smax if smer_transport else None
             )
+            cap = min(cap * 2, cap_limit)
+            if verbose:
+                print(f"exchange overflow; retrying batch at cap={cap}")
+            step = build_step(cap)
+            with timer.span("device_step"):
+                sc = step(sharded)
+        xbytes += exchange.exchange_bytes_per_step(
+            n, cap, cfg.k, smax if smer_transport else None
+        )
         collisions.append(sc.collision)
         with timer.span("host_compact"):
             for c, part in enumerate(exchange.compact_shard_counts(sc)):
                 per_chip_parts[c].append(part)
         n_reads += nr
         n_bases += nb
-        n_steps += 1
     if cfg.use_ht and collisions:
         import jax.numpy as jnp
 
@@ -200,9 +229,6 @@ def execute_job_distributed(
         with timer.span("write_output"):
             _write_output(cfg, words, counts, bins)
 
-    xbytes = n_steps * exchange.exchange_bytes_per_step(
-        n, cap, cfg.k, smax if smer_transport else None
-    )
     return DistributedResult(
         words, counts, bins, int(counts.sum()), n_bases, n_reads,
         owner_map, balance, xbytes, timer.as_dict(),

@@ -49,6 +49,40 @@ def hash_owner_map(B: int, n_parts: int) -> np.ndarray:
     return (np.arange(B, dtype=np.int64) % n_parts).astype(np.int32)
 
 
+def size_exchange_cap(
+    bin_sizes: np.ndarray,
+    owners: np.ndarray,
+    n_parts: int,
+    positions: int,
+    slack: float = 2.0,
+    floor: int = 4096,
+    granule: int = 1024,
+) -> int:
+    """Per-(src,dst) all_to_all lane capacity from the sampled histogram.
+
+    The reference computes an extraction-time per-bin k-mer upper bound to
+    size its reduce-side tables (``getSuperKmersWithBinSizes``,
+    SparkBinKmerCounter.scala:290-426); the TPU analogue sizes the exchange
+    buffers: a chip extracting ``positions`` k-mers per batch sends about
+    ``positions * load_share(dst)`` entries to each destination, so the
+    capacity is the maximum owner share times a slack factor.  Overflow is
+    detected (psum'd dropped counter) and retried at doubled capacity, so
+    ``slack`` trades exchange bytes against rare retries; the result is
+    clipped to the worst case (= ``positions``, every entry to one owner).
+    """
+    bin_sizes = np.asarray(bin_sizes, dtype=np.int64)
+    total = int(bin_sizes.sum())
+    if total <= 0:
+        return positions  # no sample available: worst case
+    loads = np.zeros(n_parts, dtype=np.int64)
+    np.add.at(loads, np.asarray(owners)[: bin_sizes.shape[0]], bin_sizes)
+    share = loads.max() / total
+    cap = int(np.ceil(positions * share * slack))
+    cap = max(cap, floor)
+    cap = -(-cap // granule) * granule
+    return min(cap, positions)
+
+
 def balance_stats(bin_sizes: np.ndarray, owners: np.ndarray, n_parts: int) -> dict:
     """Per-partition load summary — the structured replacement for the
     reference's ``evaluatePartitionBalance`` debug dump

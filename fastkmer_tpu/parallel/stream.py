@@ -78,7 +78,8 @@ class DistributedCounter:
 
     def __init__(self, mesh: Mesh, k: int, m: int, B: int, cap: int, acc_cap: int,
                  owner_map: np.ndarray, fanin: int = 4, with_seq: bool = False,
-                 use_pallas: bool | None = None, pallas_interpret: bool = False):
+                 use_pallas: bool | None = None, pallas_interpret: bool = False,
+                 retry_on_overflow: bool = True):
         assert count_sort.sentinel_safe_for(k) or with_seq, (
             "streaming counter needs k % 16 != 0 (or a seq lane, which is "
             "itself sentinel-safe)"
@@ -96,8 +97,10 @@ class DistributedCounter:
         use_pallas = exchange.resolve_use_pallas(k, mesh, use_pallas)
         self._extract = exchange._extract_fn(k, m, B, use_pallas, pallas_interpret)
         self._check_vma = exchange._check_vma(use_pallas, pallas_interpret)
+        self._use_pallas = use_pallas
+        self._pallas_interpret = pallas_interpret
         self._exchange = self._build_exchange()
-        self._merge_cache: dict[int, callable] = {}
+        self._merge_cache: dict[tuple, callable] = {}
         self._stack = None  # built lazily (first table pull)
         self.state = self._init_state()
         self.pending: list = []  # [(cols tuple [n, n*cap], ndrop)]
@@ -106,6 +109,11 @@ class DistributedCounter:
         self._pend_ub = 0  # conservative upper bound on pending new uniques
         self.n_bases = 0
         self.n_reads = 0
+        self.retry_on_overflow = retry_on_overflow
+        self._window: list = []  # current merge window's inputs, for replay
+        self._cap_limit = cap  # grows with observed per-src positions
+        self.exchange_bytes = 0  # cumulative bytes crossing the interconnect
+        self.n_retries = 0
 
     def _init_state(self) -> AccState:
         n, acc_cap, W = self.n, self.acc_cap, self.W
@@ -226,13 +234,17 @@ class DistributedCounter:
     def _merge_pending(self) -> None:
         if not self.pending:
             return
+        if self.retry_on_overflow:
+            self._retry_window_if_dropped()
         nparts = len(self.pending)
-        if nparts not in self._merge_cache:
-            self._merge_cache[nparts] = self._build_merge(nparts)
+        key = (nparts, self.cap)
+        if key not in self._merge_cache:
+            self._merge_cache[key] = self._build_merge(nparts)
         parts = tuple(p[0] for p in self.pending)
         ndrops = tuple(p[1] for p in self.pending)
-        self.state = self._merge_cache[nparts](parts, ndrops, self.state)
+        self.state = self._merge_cache[key](parts, ndrops, self.state)
         self.pending = []
+        self._window = []
         self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
         self._pend_ub = 0
         # start the counters' D2H copies NOW (hides tunnel round trips if
@@ -280,19 +292,55 @@ class DistributedCounter:
         positions = min(R * max(L - self.k + 1, 0), self.n * self.cap)
         self._ensure_room(positions)
         sharded = exchange.shard_batch(self.mesh, codes)
+        sids = None
         if self.with_seq:
             sids = jax.device_put(
                 np.asarray(seq_ids, dtype=np.int32),
                 NamedSharding(self.mesh, P(AXIS)),
             )
-            self.pending.append(self._exchange(sharded, sids))
-        else:
-            self.pending.append(self._exchange(sharded))
+        self._dispatch(sharded, sids)
+        # retry needs the (immutable) device inputs and per-src extraction
+        # bound; per-src rows also bound how far cap can usefully grow
+        src_positions = (-(-R // self.n)) * max(L - self.k + 1, 0)
+        self._window.append((sharded, sids, R * max(L - self.k + 1, 0)))
+        self._cap_limit = max(self._cap_limit, src_positions)
         self._pend_ub += positions
         self.n_reads += n_reads
         self.n_bases += n_bases
         if len(self.pending) >= self.fanin:
             self._merge_pending()
+
+    def _dispatch(self, sharded, sids) -> None:
+        if self.with_seq:
+            self.pending.append(self._exchange(sharded, sids))
+        else:
+            self.pending.append(self._exchange(sharded))
+        self.exchange_bytes += self.n * self.n * self.cap * (self.W + 1) * 4
+
+    def _retry_window_if_dropped(self) -> None:
+        """Exchange-overflow recovery (the moral equivalent of Spark
+        spilling): pull the window's psum'd dropped counters (one small
+        transfer — the merge would wait on the newest exchange anyway) and,
+        if any entry was dropped, rebuild the exchange at doubled capacity
+        and replay the retained window inputs.  Capacity is clipped at the
+        per-src worst case, where overflow is impossible by construction."""
+        while True:
+            drops = np.asarray(jnp.stack([p[1] for p in self.pending]))
+            if int(drops.sum()) == 0:
+                return
+            if self.cap >= self._cap_limit:
+                raise RuntimeError(
+                    f"exchange overflow at worst-case cap={self.cap}: "
+                    f"{int(drops.sum())} entries dropped"
+                )
+            self.cap = min(self.cap * 2, self._cap_limit)
+            self.n_retries += 1
+            self._exchange = self._build_exchange()
+            self.pending = []
+            self._pend_ub = 0
+            for sharded, sids, pos in self._window:
+                self._dispatch(sharded, sids)
+                self._pend_ub += min(pos, self.n * self.cap)
 
     def _stats(self) -> dict:
         """Counters of merges completed so far (pending parts excluded);

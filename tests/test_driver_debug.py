@@ -62,6 +62,57 @@ def test_execute_job_distributed(tmp_path, dataset, smer, custom_part, use_ht):
     assert {b: dict(c) for b, c in expect_binned.items()} == on_disk
 
 
+def test_driver_histogram_sized_cap(tmp_path, dataset):
+    """Auto cap must come from the sampled histogram (far below the
+    worst case) and exchange bytes must reflect the actual caps used."""
+    import jax
+
+    from fastkmer_tpu.parallel import driver, exchange, partitioner
+
+    fa, reads = dataset
+    mesh = jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/out_", k=28, m=10, max_b=64,
+        reads_per_batch=16, read_len=512, write=False,
+    )
+    res = driver.execute_job_distributed(cfg, mesh, verbose=False)
+    expect = oracles.count_reads(reads, 28)
+    kmers = bits.decode_words_batch(res.words, 28)
+    got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+    assert got == dict(expect)
+
+    # sanity on the sizing rule itself: with ~uniform owner shares the cap
+    # is ~positions/n * slack, i.e. well under the worst case for n=8
+    positions = (16 // 8) * (512 - 28 + 1)
+    hist = np.ones(64, dtype=np.int64)
+    cap = partitioner.size_exchange_cap(
+        hist, partitioner.hash_owner_map(64, 8), 8, 1 << 20, floor=1,
+    )
+    assert cap < (1 << 20) // 2
+
+
+def test_driver_retries_undersized_cap(tmp_path, dataset):
+    """cap=8 forces exchange overflow on both driver paths; the driver must
+    resize-and-retry and still produce the exact table."""
+    import jax
+
+    from fastkmer_tpu.parallel import driver, exchange
+
+    fa, reads = dataset
+    mesh = jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+    expect = oracles.count_reads(reads, 28)
+    for use_ht in (False, True):  # streaming path vs per-batch path
+        cfg = JobConfig(
+            dataset=fa, output_directory=str(tmp_path) + "/out_", k=28, m=10,
+            max_b=64, reads_per_batch=16, read_len=512, write=False,
+            use_ht=use_ht,
+        )
+        res = driver.execute_job_distributed(cfg, mesh, cap=8, verbose=False)
+        kmers = bits.decode_words_batch(res.words, 28)
+        got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+        assert got == dict(expect)
+
+
 def test_find_bin_signatures(tmp_path, dataset):
     from fastkmer_tpu import debug
 

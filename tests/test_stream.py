@@ -86,3 +86,42 @@ def test_streaming_counter_overflow_detected(mesh8):
     ctr.feed(to_batch(random_reads(rng, 32, 100), 100))
     with pytest.raises(RuntimeError, match="accumulator overflow"):
         ctr.finalize()
+
+
+def test_streaming_counter_retries_exchange_overflow(mesh8):
+    """An undersized exchange cap must trigger resize-and-retry (replaying
+    the retained window at doubled capacity), not data loss or an error."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(23)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=8, acc_cap=1 << 14, fanin=2,
+        owner_map=partitioner.hash_owner_map(B, 8),
+    )
+    for _ in range(4):
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    words, counts, _ = ctr.finalize()
+    assert ctr.n_retries > 0 and ctr.cap > 8
+
+    expect = oracles.count_reads(all_reads, k)
+    kmers = bits.decode_words_batch(words, k)
+    got = {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
+    assert got == dict(expect)
+
+
+def test_streaming_counter_retry_disabled_raises(mesh8):
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(24)
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=8, acc_cap=1 << 14,
+        owner_map=partitioner.hash_owner_map(B, 8), retry_on_overflow=False,
+    )
+    ctr.feed(to_batch(random_reads(rng, 32, 100), 100))
+    with pytest.raises(RuntimeError, match="exchange overflow"):
+        ctr.finalize()

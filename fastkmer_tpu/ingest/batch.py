@@ -102,6 +102,76 @@ class _DensePacker:
             self._new()
 
 
+class _TaggedDensePacker:
+    """_DensePacker variant for multisequence ingest: every row is
+    dedicated to ONE sequence id (the row's reads may differ, their tag may
+    not), so a per-ROW sid array is enough to label every extracted window
+    — dense packing and per-read sequence attribution stop conflicting.
+    Rows switch (wasting only the row tail) when the incoming tag differs.
+    """
+
+    def __init__(self, reads_per_batch: int, read_len: int):
+        self.R, self.L = reads_per_batch, read_len
+        self._new()
+
+    def _new(self):
+        self.buf = np.full((self.R, self.L), bits.INVALID_CODE, dtype=np.uint8)
+        self.sids = np.zeros(self.R, dtype=np.int32)
+        self.row = 0
+        self.col = 0
+        self.n_reads = 0
+        self.n_bases = 0
+
+    def _advance_row(self):
+        self.row += 1
+        self.col = 0
+        if self.row == self.R:
+            out = (self.buf, self.sids, self.n_reads, self.n_bases)
+            self._new()
+            return out
+        return None
+
+    def add(self, codes: np.ndarray, tag: int):
+        n = codes.shape[0]
+        if n > self.L:
+            raise ValueError(f"read of length {n} > batch read_len {self.L}")
+        if self.col > 0 and tag != int(self.sids[self.row]):
+            full = self._advance_row()
+            if full is not None:
+                yield full
+        need = n if self.col == 0 else n + 1  # +1 separator cell
+        if self.col + need > self.L:
+            full = self._advance_row()
+            if full is not None:
+                yield full
+            need = n
+        start = self.col + (need - n)
+        self.buf[self.row, start : start + n] = codes
+        self.sids[self.row] = tag
+        self.col = start + n
+        self.n_reads += 1
+        self.n_bases += n
+
+    def flush(self):
+        if self.n_reads:
+            yield self.buf, self.sids, self.n_reads, self.n_bases
+            self._new()
+
+
+def batch_codes_dense_tagged(
+    tagged_reads: Iterable[tuple[int, bytes | np.ndarray]],
+    reads_per_batch: int,
+    read_len: int,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, int, int]]:
+    """(sid, read) stream -> (codes [R, L], sids [R], n_reads, n_bases)
+    batches, densely packed with one-sequence-per-row (_TaggedDensePacker)."""
+    packer = _TaggedDensePacker(reads_per_batch, read_len)
+    for tag, r in tagged_reads:
+        codes = r if isinstance(r, np.ndarray) else bits.encode_ascii(r)
+        yield from packer.add(codes, tag)
+    yield from packer.flush()
+
+
 def batch_codes_dense(
     reads: Iterable[bytes | np.ndarray],
     reads_per_batch: int,

@@ -82,6 +82,32 @@ def _batch_count_seq(codes: jnp.ndarray, seq_ids: jnp.ndarray, k: int, m: int, B
     return sc._replace(bins=binhash.bins_from_words(sc.words[:, :W], k, m, B))
 
 
+@partial(jax.jit, static_argnames=("k", "m", "B", "use_pallas"))
+def _batch_extract_keys_seq(
+    codes: jnp.ndarray, seq_ids: jnp.ndarray, k: int, m: int, B: int, use_pallas: bool
+):
+    """Stage-1 only, multiseq flavor: pre-sentineled (k-mer words, seq id)
+    key columns with NO per-batch sort — the device accumulator's fan-in
+    merge does all the sorting (pipeline._batch_extract_keys + the seq-lane
+    trick from parallel.stream).  The seq lane makes the row sentinel-safe
+    for every k: a valid row's last lane is a seq id < 2^31."""
+    ones = jnp.uint32(0xFFFFFFFF)
+    R, L = codes.shape
+    P = L - k + 1
+    if use_pallas:
+        from ..ops import pallas_extract
+
+        cols = tuple(pallas_extract.extract_pallas_sentinel(codes, k, m, B))
+        valid = cols[-1] != ones  # pallas path is gated on k % 16 != 0
+    else:
+        ex = extract.extract(codes, k, m, B)
+        valid = ex.valid
+        W = ex.words.shape[1]
+        cols = tuple(jnp.where(valid, ex.words[:, w], ones) for w in range(W))
+    seq_col = jnp.broadcast_to(seq_ids[:, None].astype(jnp.uint32), (R, P)).reshape(R * P)
+    return cols + (jnp.where(valid, seq_col, ones),)
+
+
 def accumulate_distances(
     words: np.ndarray,
     seqs: np.ndarray,
@@ -179,8 +205,21 @@ def _sequence_tag(header: str) -> str:
     return mobj.group(1) if mobj else head.split()[0]
 
 
-def execute_multiseq_job(cfg: MultiseqConfig, verbose: bool = True) -> MultiseqResult:
+def execute_multiseq_job(
+    cfg: MultiseqConfig,
+    verbose: bool = True,
+    device_accumulate: bool | None = None,
+    unique_ub: int | None = None,
+) -> MultiseqResult:
+    """Single-chip multiseq job on the counting path's machinery: tagged
+    DENSE row packing (multiple reads per row, one sequence per row —
+    ingest._TaggedDensePacker), the Pallas fused extractor when available,
+    and deferred device-resident accumulation (pipeline.DeviceAccumulator
+    with the seq id as one extra key lane).  Reference semantics:
+    SparkMultiSequenceKmerCounter.scala:300-547."""
     from .. import pipeline as base
+    from ..ingest import batch as batching
+    from ..ingest.prefetch import prefetched
 
     timer = StageTimer()
     measure = dist_mod.get_measure(cfg.distance_measure)
@@ -200,39 +239,41 @@ def execute_multiseq_job(cfg: MultiseqConfig, verbose: bool = True) -> MultiseqR
             yield name_to_id[base_name], seq
 
     W = num_words(cfg.k)
+    use_pallas = base.pallas_count_available(cfg.k)
+    if device_accumulate is None:
+        device_accumulate = jax.default_backend() != "cpu"
+    acc = (
+        base.DeviceAccumulator(
+            cfg.k, m=cfg.m, B=cfg.b, extra_lanes=1, unique_ub=unique_ub
+        )
+        if device_accumulate
+        else None
+    )
     parts = []
-    n_rows = 0
-    R, L = cfg.reads_per_batch, cfg.read_len
-    buf = np.full((R, L), 4, dtype=np.uint8)
-    sid = np.zeros(R, dtype=np.int32)
-    row = 0
-    from ..core import bits as bmod
-
-    def flush():
-        with timer.span("device_count"):
-            sc = _batch_count_seq(jnp.asarray(buf), jnp.asarray(sid), cfg.k, cfg.m, cfg.b)
-        with timer.span("host_compact"):
-            parts.append(base._compact(sc))
-
-    with timer.span("ingest"):
-        for s, seq in tagged_reads():
-            codes = bmod.encode_ascii(seq)
-            buf[row, : codes.shape[0]] = codes
-            sid[row] = s
-            row += 1
-            n_rows += 1
-            if row == R:
-                flush()
-                # fresh buffers: jnp.asarray may alias numpy memory on the
-                # CPU backend; never mutate a batch already handed to jax
-                buf = np.full((R, L), 4, dtype=np.uint8)
-                sid = np.zeros(R, dtype=np.int32)
-                row = 0
-        if row:
-            flush()
+    batches = prefetched(
+        batching.batch_codes_dense_tagged(
+            tagged_reads(), cfg.reads_per_batch, cfg.read_len
+        )
+    )
+    with timer.span("device_count"):
+        for codes, sids, _, _ in batches:
+            if acc is not None:
+                acc.add_raw(
+                    _batch_extract_keys_seq(
+                        jnp.asarray(codes), jnp.asarray(sids),
+                        cfg.k, cfg.m, cfg.b, use_pallas,
+                    )
+                )
+            else:
+                sc = _batch_count_seq(
+                    jnp.asarray(codes), jnp.asarray(sids), cfg.k, cfg.m, cfg.b
+                )
+                parts.append(base._compact(sc))
 
     with timer.span("merge"):
-        if parts:
+        if acc is not None:
+            words_ext, counts, bins = acc.finalize()
+        elif parts:
             words_ext, counts, bins = base.merge_partials(parts, W + 1)
         else:
             words_ext = np.zeros((0, W + 1), np.uint32)

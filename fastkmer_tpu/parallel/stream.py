@@ -203,20 +203,19 @@ class DistributedCounter:
             # all inputs are pre-sentineled with zero weights on sentinel
             # rows — skip count_sorted's validity rewrite pass entirely
             sc = count_sort.count_presentineled(mcols, weights=wts)
-            # compaction to acc_cap: one more monotone-key sort (a gather
-            # here costs ~3x a sort pass per binary-search step on TPU)
+            # compaction to acc_cap: one more sort on the WORDS themselves —
+            # run-tail rows are rewritten to the all-ones sentinel (safe:
+            # the ctor asserts sentinel safety), so unique run heads sort to
+            # the front IN KEY ORDER with no extra index-key lane.  A sort,
+            # not a gather (a gather costs ~3x a sort pass per binary-search
+            # step on TPU — benchmarks/primitives).
             n_u = jnp.sum(sc.is_start.astype(jnp.int32))
-            idx = jnp.arange(cap_in, dtype=jnp.int32)
-            key = jnp.where(sc.is_start, idx, idx + jnp.int32(cap_in))
-            out = jax.lax.sort(
-                (key,) + tuple(sc.words[:, w] for w in range(W)) + (sc.counts,),
-                num_keys=1, is_stable=False,
+            ccols = tuple(
+                jnp.where(sc.is_start, sc.words[:, w], _ONES) for w in range(W)
             )
-            keep = out[0][:acc_cap] < jnp.int32(cap_in)
-            new_words = jnp.stack(
-                [jnp.where(keep, out[1 + w][:acc_cap], _ONES) for w in range(W)], axis=1
-            )
-            new_wts = jnp.where(keep, out[W + 1][:acc_cap], 0)
+            out = jax.lax.sort(ccols + (sc.counts,), num_keys=W, is_stable=False)
+            new_words = jnp.stack([out[w][:acc_cap] for w in range(W)], axis=1)
+            new_wts = out[W][:acc_cap]
             over = jnp.maximum(n_u - acc_cap, 0)
             return AccState(
                 words=new_words[None],

@@ -177,22 +177,20 @@ def _acc_merge(parts, acc):
     # all inputs are pre-sentineled with zero weights on sentinel rows —
     # skip count_sorted's validity rewrite pass entirely
     sc = count_sort.count_presentineled(mcols, weights=wts)
-    # compaction to acc_cap: one more sort on a monotone float-to-front key.
-    # A second sort, not a gather: on TPU a random gather costs ~9 ns/elem
+    # compaction to acc_cap: one more sort, this time on the WORDS themselves
+    # — run-tail rows are rewritten to the all-ones sentinel (safe: this path
+    # is gated on sentinel_safe_for(k)), so unique run heads sort to the
+    # front IN KEY ORDER with no extra index-key lane (W+1 lanes, not W+2).
+    # A sort, not a gather: on TPU a random gather costs ~9 ns/elem
     # (~3x a whole sort pass per binary-search step — benchmarks/primitives),
     # so binary-search compaction is ~50x slower here (BASELINE.md table).
     n_u = jnp.sum(sc.is_start.astype(jnp.int32))
-    idx = jnp.arange(cap_in, dtype=jnp.int32)
-    key = jnp.where(sc.is_start, idx, idx + jnp.int32(cap_in))
-    out = jax.lax.sort(
-        (key,) + tuple(sc.words[:, w] for w in range(W)) + (sc.counts,),
-        num_keys=1, is_stable=False,
+    ccols = tuple(
+        jnp.where(sc.is_start, sc.words[:, w], ones) for w in range(W)
     )
-    keep = out[0][:acc_cap] < jnp.int32(cap_in)
-    new_cols = tuple(
-        jnp.where(keep, out[1 + w][:acc_cap], ones) for w in range(W)
-    )
-    new_wts = jnp.where(keep, out[W + 1][:acc_cap], 0)
+    out = jax.lax.sort(ccols + (sc.counts,), num_keys=W, is_stable=False)
+    new_cols = tuple(out[w][:acc_cap] for w in range(W))
+    new_wts = out[W][:acc_cap]
     over = jnp.maximum(n_u - acc_cap, 0)
     return (new_cols, new_wts, jnp.minimum(n_u, acc_cap), acc_over + over)
 
@@ -205,12 +203,14 @@ _MERGE_JIT = jax.jit(_acc_merge, donate_argnums=(1,))
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))
 def _stack_with_bins(cols: tuple, wts: jnp.ndarray, k: int, m: int, B: int) -> jnp.ndarray:
-    """[cap] cols + weights -> one [cap, W+2] uint32 matrix (words, count,
-    bin) so the host pull is a single contiguous transfer."""
+    """[cap] cols + weights -> one [cap, lanes+2] uint32 matrix (key lanes,
+    count, bin) so the host pull is a single contiguous transfer.  Bins are
+    a function of the k-mer words only — any trailing lanes (multiseq seq
+    id) are carried but excluded from the hash."""
     from .ops import binhash
 
     words = jnp.stack(cols, axis=1)
-    bins = binhash.bins_from_words(words, k, m, B)
+    bins = binhash.bins_from_words(words[:, : num_words(k)], k, m, B)
     return jnp.concatenate(
         [words, wts.astype(jnp.uint32)[:, None], bins.astype(jnp.uint32)[:, None]], axis=1
     )
@@ -231,9 +231,19 @@ class DeviceAccumulator:
     boundary, so any dataset fits in a fixed device budget.
 
     No per-merge host sync: capacity pressure is tracked with conservative
-    host-side upper bounds, refreshed by a scalar pull only when a spill
-    decision is actually needed; genuine overflow is recorded by a device
-    counter and raised at finalize.
+    host-side upper bounds, refreshed OPPORTUNISTICALLY from the prefetched
+    stats of past merges (``jax.Array.is_ready`` — zero blocking) and by a
+    blocking scalar pull only when a spill decision is actually needed;
+    genuine overflow is recorded by a device counter and raised at finalize.
+
+    ``unique_ub`` — a caller-asserted upper bound on TOTAL distinct keys
+    (e.g. genome length: distinct canonical k-mers <= positions) — sizes the
+    table once and disables all host-side room checks: the feed loop then
+    dispatches with ZERO device round trips and one fence at the end.  The
+    assertion is verified, not trusted: the device overflow counter still
+    raises at finalize if it was wrong.  (Through a remote-TPU tunnel a
+    blocking scalar pull drains the dispatch queue at ~0.6 s RTT, so the
+    sync-free feed is what makes streaming measurable — BASELINE.md.)
     """
 
     def __init__(
@@ -244,26 +254,38 @@ class DeviceAccumulator:
         m: int = 10,
         B: int = 512,
         acc_cap: int | None = None,
+        unique_ub: int | None = None,
+        extra_lanes: int = 0,
     ):
         self.k = k
-        self.W = num_words(k)
+        self.W = num_words(k)  # k-mer key words (the binhash input)
+        # total sort lanes: extra trailing key lanes (e.g. multiseq's
+        # sequence id) ride every merge; valid rows never carry the all-ones
+        # value in them, so the sentinel stays collision-free for ANY k
+        self.lanes = self.W + extra_lanes
         self.m = m
         self.B = B
         self.fanin = fanin
         self.max_device_rows = max_device_rows
+        if unique_ub is not None and acc_cap is None:
+            # next 64Ki granule with ~6% headroom, floor 2^14
+            acc_cap = max(1 << 14, -(-int(unique_ub * 1.0625) // (1 << 16)) * (1 << 16))
         self.acc_cap = acc_cap  # sized from the first part when None
+        self.assume_fits = unique_ub is not None
         self.state = None  # (cols tuple [acc_cap], wts, n_unique [], overflow [])
         self.pending: list = []  # (cols tuple, wts | None)
         self.rows = 0  # pending buffered rows
         self._acc_ub = 0  # conservative bound on accumulated uniques
         self._pend_ub = 0  # conservative bound on pending new uniques
+        self._cum_merged = 0  # conservative total uniques ever merged in
+        self._merge_log: list = []  # (stats_arr, _cum_merged at that merge)
         self.host_spills: list = []  # (words, counts, bins) np arrays
         self._merge = _MERGE_JIT  # shared across instances: one trace cache
 
     def _init_state(self):
         cols = tuple(
             jax.device_put(np.full(self.acc_cap, 0xFFFFFFFF, np.uint32))
-            for _ in range(self.W)
+            for _ in range(self.lanes)
         )
         return (
             cols,
@@ -301,6 +323,7 @@ class DeviceAccumulator:
         self.pending = []
         self.rows = 0
         self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
+        self._cum_merged += self._pend_ub
         self._pend_ub = 0
         # pack the scalars and start the D2H copy NOW: by the time the host
         # needs them for a spill decision the transfer has already landed
@@ -310,8 +333,33 @@ class DeviceAccumulator:
             self._stats_arr.copy_to_host_async()
         except AttributeError:
             pass
+        self._merge_log.append((self._stats_arr, self._cum_merged))
+        del self._merge_log[:-8]
+
+    def _refresh_landed(self) -> None:
+        """Tighten _acc_ub from the newest ALREADY-LANDED merge stats —
+        never blocks.  n_unique measured at merge j plus the conservative
+        uniques merged after j is a valid upper bound on the table now."""
+        for arr, cum_at in reversed(self._merge_log):
+            try:
+                ready = arr.is_ready()
+            except AttributeError:
+                return
+            if ready:
+                vals = np.asarray(arr)
+                self._acc_ub = min(
+                    self._acc_ub, int(vals[0]) + (self._cum_merged - cum_at)
+                )
+                if vals[1]:
+                    self._raise_if_lost({"overflow": int(vals[1])})
+                return
 
     def _ensure_room(self, incoming: int) -> None:
+        if self.assume_fits:
+            return  # caller asserted total uniques <= acc_cap; finalize verifies
+        if self._acc_ub + self._pend_ub + incoming <= self.acc_cap:
+            return
+        self._refresh_landed()  # free tightening from prefetched stats
         if self._acc_ub + self._pend_ub + incoming <= self.acc_cap:
             return
         stats = self._stats()  # exact occupancy before deciding to spill
@@ -355,14 +403,15 @@ class DeviceAccumulator:
             table = np.asarray(stacked[:n_u])  # ONE device-to-host transfer
             self.host_spills.append(
                 (
-                    table[:, : self.W],
-                    table[:, self.W].astype(np.int64),
-                    table[:, self.W + 1].astype(np.int32),
+                    table[:, : self.lanes],
+                    table[:, self.lanes].astype(np.int64),
+                    table[:, self.lanes + 1].astype(np.int32),
                 )
             )
         self.state = self._init_state()
         self._stats_arr = None
         self._acc_ub = 0
+        self._merge_log = []  # old-table stats bound nothing anymore
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (unique words [U, W] ascending, counts [U], bins [U]) on host."""
@@ -372,13 +421,13 @@ class DeviceAccumulator:
         self._spill(stats)
         if not self.host_spills:
             return (
-                np.zeros((0, self.W), np.uint32),
+                np.zeros((0, self.lanes), np.uint32),
                 np.zeros(0, np.int64),
                 np.zeros(0, np.int32),
             )
         if len(self.host_spills) == 1:
             return self.host_spills[0]
-        return merge_partials(self.host_spills, self.W)
+        return merge_partials(self.host_spills, self.lanes)
 
 
 def _compact(sc: count_sort.SortedCounts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -423,6 +472,7 @@ def count_batches(
     engine: str = "sort",
     checkpointer=None,
     device_accumulate: bool | None = None,
+    unique_ub: int | None = None,
 ) -> CountResult:
     timer = timer or StageTimer()
     parts = []
@@ -445,7 +495,11 @@ def count_batches(
         device_accumulate and engine == "sort" and count_sort.sentinel_safe_for(k)
         and checkpointer is None
     )
-    acc = DeviceAccumulator(k, m=m, B=B) if device_accumulate else None
+    acc = (
+        DeviceAccumulator(k, m=m, B=B, unique_ub=unique_ub)
+        if device_accumulate
+        else None
+    )
     coll_flag = jnp.zeros((), bool) if engine == "hash" else None
     for batch_idx, (codes, nr, nb) in enumerate(batches):
         if batch_idx < skip:  # already counted before the interruption

@@ -126,6 +126,75 @@ def test_multiseq_job_matches_oracle(tmp_path, measure_name):
     assert len(dist_file["distances"]) == n_pairs
 
 
+def test_multiseq_device_accumulator_matches_host_merge(tmp_path):
+    """Forced device accumulation (seq id as an extra key lane through
+    DeviceAccumulator) must equal the host-merge path bit-for-bit."""
+    from fastkmer_tpu.multiseq.pipeline import MultiseqConfig, execute_multiseq_job
+
+    rng = np.random.default_rng(11)
+    reads = []
+    for s in range(3):
+        for i in range(12):
+            seq = "".join(rng.choice(list("ACGT"), size=int(rng.integers(40, 150))))
+            reads.append((f"SEQ{s}.{i}", seq))
+    fa = str(tmp_path / "ms.fa")
+    with open(fa, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n{seq}\n")
+
+    cfg = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=25, m=6, max_b=64,
+        reads_per_batch=4, read_len=256, write=False,
+    )
+    a = execute_multiseq_job(cfg, verbose=False, device_accumulate=False)
+    b = execute_multiseq_job(cfg, verbose=False, device_accumulate=True)
+    np.testing.assert_array_equal(a.words, b.words)
+    np.testing.assert_array_equal(a.seqs, b.seqs)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    np.testing.assert_array_equal(a.bins, b.bins)
+    assert a.distances == b.distances
+
+    # k % 16 == 0: the seq lane alone must keep all-T k-mers apart from
+    # the sentinel through the accumulator merges
+    cfg16 = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=16, m=5, max_b=64,
+        reads_per_batch=4, read_len=256, write=False,
+    )
+    a16 = execute_multiseq_job(cfg16, verbose=False, device_accumulate=False)
+    b16 = execute_multiseq_job(cfg16, verbose=False, device_accumulate=True)
+    np.testing.assert_array_equal(a16.words, b16.words)
+    np.testing.assert_array_equal(a16.counts, b16.counts)
+
+
+def test_tagged_dense_packer_row_purity():
+    """Dense multiseq packing: every row holds reads of exactly one
+    sequence; windows never cross reads (separator cells)."""
+    from fastkmer_tpu.core import bits
+    from fastkmer_tpu.ingest.batch import batch_codes_dense_tagged
+
+    rng = np.random.default_rng(3)
+    tagged = []
+    for _ in range(57):
+        tag = int(rng.integers(0, 4))
+        ln = int(rng.integers(5, 40))
+        tagged.append((tag, "".join(rng.choice(list("ACGT"), size=ln))))
+    R, L = 4, 64
+    seen = []
+    for codes, sids, n_reads, n_bases in batch_codes_dense_tagged(iter(tagged), R, L):
+        assert codes.shape == (R, L)
+        for r in range(R):
+            row = codes[r]
+            start = None
+            for j in range(L + 1):  # decode reads back out of the row
+                if j < L and row[j] < 4:
+                    start = j if start is None else start
+                elif start is not None:
+                    seg = "".join("ACGT"[c] for c in row[start:j])
+                    seen.append((int(sids[r]), seg))
+                    start = None
+    assert seen == tagged
+
+
 def test_multiseq_distributed_matches_single(tmp_path):
     """Distributed multiseq over the 8-device mesh == single-chip result."""
     import jax

@@ -165,3 +165,69 @@ def test_device_accumulator_matches_host_merge(tmp_path, small_reads):
     np.testing.assert_array_equal(words, a.words)
     np.testing.assert_array_equal(counts, a.counts)
     np.testing.assert_array_equal(bins, a.bins)
+
+
+def test_device_accumulator_unique_ub_sync_free(tmp_path, small_reads):
+    """unique_ub (caller-asserted distinct bound) disables all host-side
+    room checks; the result must still be exact and finalize must verify
+    the assertion via the device overflow counter."""
+    import pytest
+
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.ingest import batch as batching
+
+    fa = str(tmp_path / "reads.fa")
+    write_fasta(fa, small_reads)
+    k, m, B = 28, 10, 64
+
+    batches = batching.batch_file(fa, 0, k, 16, 256)
+    ref = pipeline.count_batches(batches, k, m, B, device_accumulate=False)
+
+    res = pipeline.count_batches(
+        batching.batch_file(fa, 0, k, 16, 256), k, m, B,
+        device_accumulate=True, unique_ub=len(ref.counts),
+    )
+    np.testing.assert_array_equal(res.words, ref.words)
+    np.testing.assert_array_equal(res.counts, ref.counts)
+    assert res.n_instances == ref.n_instances
+
+    # a WRONG assertion (cap below the true distinct count) must raise at
+    # finalize, never lose counts silently
+    acc = pipeline.DeviceAccumulator(k, fanin=2, m=m, B=B,
+                                     acc_cap=16, unique_ub=16)
+    assert acc.assume_fits
+    import jax.numpy as jnp
+
+    for codes, _, _ in batching.batch_file(fa, 0, k, 8, 256):
+        acc.add(pipeline._batch_count(jnp.asarray(codes), k, m, B))
+    with pytest.raises(RuntimeError, match="overflow"):
+        acc.finalize()
+
+
+def test_device_accumulator_small_cap_spills(tmp_path, small_reads):
+    """A cap far below the distinct count forces host spills mid-stream
+    (and, on CPU, exercises the non-blocking _refresh_landed tightening);
+    the spilled+merged table must equal the host-merge path."""
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.ingest import batch as batching
+
+    fa = str(tmp_path / "reads.fa")
+    write_fasta(fa, small_reads)
+    k, m, B = 28, 10, 64
+
+    ref = pipeline.count_batches(
+        batching.batch_file(fa, 0, k, 16, 256), k, m, B, device_accumulate=False
+    )
+    assert len(ref.counts) > 1024  # cap must be exceeded overall ...
+
+    import jax.numpy as jnp
+
+    # ... while each fanin window's distinct count still fits the cap
+    acc = pipeline.DeviceAccumulator(k, fanin=2, m=m, B=B, acc_cap=1024)
+    for codes, _, _ in batching.batch_file(fa, 0, k, 4, 256):
+        acc.add_raw(pipeline._batch_extract_keys(jnp.asarray(codes), k, m, B, False))
+    assert acc.host_spills  # the point of the test
+    words, counts, bins = acc.finalize()
+    np.testing.assert_array_equal(words, ref.words)
+    np.testing.assert_array_equal(counts, ref.counts)
+    np.testing.assert_array_equal(bins, ref.bins)

@@ -44,8 +44,7 @@ def find_bin_signatures(cfg: JobConfig, smax: int = 64) -> dict[int, dict[str, i
         cfg.dataset, cfg.sequence_type, cfg.k, cfg.reads_per_batch, cfg.read_len
     ):
         sc = _sig_histogram_batch(jnp.asarray(codes), cfg.k, cfg.m, cfg.b, smax)
-        is_start = np.asarray(sc.is_start)
-        idx = np.flatnonzero(is_start)
+        idx = np.flatnonzero(np.asarray(sc.is_uniq))
         sigs = np.asarray(sc.words)[idx, 0]
         cnts = np.asarray(sc.counts)[idx]
         bins = np.asarray(sc.bins)[idx]

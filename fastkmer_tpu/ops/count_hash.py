@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .count_sort import SortedCounts
+from .count_sort import SortedCounts, _mark_and_count
 
 _U = jnp.uint32
 
@@ -94,32 +94,28 @@ def count_hashed(
     sw = out[-1]
     svalid = sflag == _U(0)
 
-    first = jnp.ones(1, dtype=bool)
-    diff = (
-        jnp.concatenate([first, shi[1:] != shi[:-1]])
-        | jnp.concatenate([first, slo[1:] != slo[:-1]])
-        | jnp.concatenate([jnp.zeros(1, bool), svalid[1:] != svalid[:-1]])
+    # runs are keyed on (validity flag, fingerprint); totals marked at run
+    # tails, scan-only (see count_sort._mark_and_count)
+    is_uniq, counts, n_valid = _mark_and_count([sflag, shi, slo], svalid, sw)
+
+    # collision check WITHOUT the run-head gather: within a fingerprint run
+    # all words equal the head's iff every ADJACENT pair is equal
+    # (transitivity), so a shifted compare suffices
+    neq_fp = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]) | (
+        sflag[1:] != sflag[:-1]
     )
-    is_start = diff & svalid
-
-    idx = jnp.arange(N, dtype=jnp.int32)
-    head = jax.lax.cummax(jnp.where(diff, idx, 0))  # index of own run head
-    mismatch = jnp.zeros(N, dtype=bool)
+    same_run = ~jnp.concatenate([jnp.ones(1, bool), neq_fp])
+    neq_words = jnp.zeros(N - 1, dtype=bool)
     for w in range(W):
-        mismatch = mismatch | (swords[w] != swords[w][head])
+        neq_words = neq_words | (swords[w][1:] != swords[w][:-1])
+    mismatch = same_run & jnp.concatenate([jnp.zeros(1, bool), neq_words])
     collision = jnp.any(mismatch & svalid)
-
-    bpos = jnp.where(diff, idx, jnp.int32(N))
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
-    cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))
-    cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
-    counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
 
     sc = SortedCounts(
         words=jnp.stack(swords, axis=1),
         bins=sbins,
-        is_start=is_start,
+        is_uniq=is_uniq,
         counts=counts,
-        n_valid=jnp.sum(sw),
+        n_valid=n_valid,
     )
     return sc, collision

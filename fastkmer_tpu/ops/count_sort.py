@@ -8,7 +8,8 @@ that machinery exists to enumerate k-mers in globally sorted order so equal
 runs become counts.  On TPU the same output semantics collapse to:
 
     lax.sort on (validity, word_0..word_{W-1}) keys   # bitonic, MXU-free
-    run-boundary detection + run-length via reverse cummin
+    run-boundary detection + run totals via forward scans only
+    (_mark_and_count — flips and gathers are pathological on TPU)
 
 with no scatter, no heap, no dynamic shapes.  Invalid entries carry a 1 in
 the leading key word so they sort strictly after every real k-mer and can
@@ -31,16 +32,54 @@ class SortedCounts(NamedTuple):
 
     words:    [N, W] uint32 sorted k-mer words (valid first, then sentinels)
     bins:     [N]    int32 bin of each row
-    is_start: [N]    bool  True at the first row of each distinct valid k-mer
-    counts:   [N]    int32 run length, meaningful where is_start
+    is_uniq:  [N]    bool  True at ONE row per distinct valid k-mer (its run
+                     TAIL — every row of a run carries the same words, so
+                     selecting tails yields the unique table in sorted
+                     order, and tail-marking makes the count epilogue
+                     scan-only; see _mark_and_count)
+    counts:   [N]    int32 the run's total, meaningful where is_uniq
     n_valid:  []     int32 total number of valid k-mer instances
     """
 
     words: jnp.ndarray
     bins: jnp.ndarray
-    is_start: jnp.ndarray
+    is_uniq: jnp.ndarray
     counts: jnp.ndarray
     n_valid: jnp.ndarray
+
+
+def _mark_and_count(key_cols, svalid, sw=None):
+    """Run totals from sorted key columns, marked at run TAILS.
+
+    Returns (is_uniq, counts, n_valid).  Scan-only on purpose: the obvious
+    head-marked formulation needs the NEXT boundary index (a suffix cummin
+    = two jnp.flip passes) and, for weighted runs, a cumulative-weight
+    lookup at that index (a random gather, ~9 ns/elem on TPU); measured at
+    2^27 rows that epilogue cost ~4.7x the sort it followed.  Tail-marking
+    needs only the PREVIOUS boundary, which forward scans propagate:
+    one cumsum (weights) + one cummax (head anchor), no flip/gather.
+
+    Ranges: per-call total weight must stay < 2^31 (int32 scans) — callers
+    bound merge fan-in accordingly, same contract as the int32 counts.
+    """
+    N = key_cols[0].shape[0]
+    neq = key_cols[0][1:] != key_cols[0][:-1]
+    for c in key_cols[1:]:
+        neq = neq | (c[1:] != c[:-1])
+    head = jnp.concatenate([jnp.ones(1, bool), neq])
+    tail = jnp.concatenate([neq, jnp.ones(1, bool)])
+    is_uniq = tail & svalid
+    if sw is None:
+        idx = jnp.arange(N, dtype=jnp.int32)
+        hidx = jax.lax.cummax(jnp.where(head, idx, 0))  # idx of my run's head
+        counts = jnp.where(is_uniq, idx - hidx + 1, 0)
+        n_valid = jnp.sum(svalid.astype(jnp.int32))
+    else:
+        s = jnp.cumsum(sw)  # inclusive prefix of weights
+        base = jax.lax.cummax(jnp.where(head, s - sw, 0))  # s at head-1
+        counts = jnp.where(is_uniq, s - base, 0)
+        n_valid = jnp.sum(sw)
+    return is_uniq, counts, n_valid
 
 
 def count_sorted(
@@ -70,7 +109,7 @@ def count_sorted(
     always has low zero bits.  One fewer sort key = one fewer permuted
     column per bitonic pass.
     """
-    N, W = words.shape
+    W = words.shape[1]
     values: list = []
     if bins is not None:
         values.append(bins)
@@ -93,31 +132,17 @@ def count_sorted(
     sbins = svals[0] if bins is not None else None
     sw = svals[-1] if weights is not None else None
 
-    diff = jnp.zeros(N, dtype=bool).at[0].set(True)
-    for w in range(W):
-        diff = diff | jnp.concatenate(
-            [jnp.ones(1, dtype=bool), swords[w][1:] != swords[w][:-1]]
-        )
-    diff = diff | jnp.concatenate([jnp.zeros(1, dtype=bool), svalid[1:] != svalid[:-1]])
-    is_start = diff & svalid
-
-    # run extent via the next-boundary index (suffix cummin)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    bpos = jnp.where(diff, idx, jnp.int32(N))
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
-    if weights is None:
-        counts = jnp.where(is_start, nxt - idx, 0)  # plain run length
-        n_valid = jnp.sum(svalid.astype(jnp.int32))
-    else:
-        cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))  # cw[i] = sum_{j>=i} sw[j]
-        cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
-        counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
-        n_valid = jnp.sum(sw)
+    # run boundaries over (validity, words): in the flag path the flag is a
+    # genuine leading key (identically-worded valid/invalid rows — the all-T
+    # case — must not merge); in the sentinel path the rewrite already
+    # separates them
+    key_cols = list(swords) if sentinel_safe else [out[0], *swords]
+    is_uniq, counts, n_valid = _mark_and_count(key_cols, svalid, sw)
 
     return SortedCounts(
         words=jnp.stack(swords, axis=1),
         bins=sbins,
-        is_start=is_start,
+        is_uniq=is_uniq,
         counts=counts,
         n_valid=n_valid,
     )
@@ -131,36 +156,19 @@ def count_presentineled(cols: list, weights: jnp.ndarray | None = None) -> Sorte
     rows) turns run-length counting into weighted merging.  bins in the
     result are None."""
     W = len(cols)
-    N = cols[0].shape[0]
     ops = tuple(cols) + (() if weights is None else (weights,))
     out = jax.lax.sort(ops, num_keys=W, is_stable=False)
     swords = out[:W]
     svalid = swords[W - 1] != jnp.uint32(0xFFFFFFFF)
 
-    diff = jnp.zeros(N, dtype=bool).at[0].set(True)
-    for w in range(W):
-        diff = diff | jnp.concatenate(
-            [jnp.ones(1, dtype=bool), swords[w][1:] != swords[w][:-1]]
-        )
-    is_start = diff & svalid
-
-    idx = jnp.arange(N, dtype=jnp.int32)
-    bpos = jnp.where(diff, idx, jnp.int32(N))
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.full(1, N, jnp.int32)]))))
-    if weights is None:
-        counts = jnp.where(is_start, nxt - idx, 0)
-        n_valid = jnp.sum(svalid.astype(jnp.int32))
-    else:
-        sw = out[W]
-        cw = jnp.flip(jnp.cumsum(jnp.flip(sw)))  # cw[i] = sum_{j>=i} sw[j]
-        cw_ext = jnp.concatenate([cw, jnp.zeros(1, jnp.int32)])
-        counts = jnp.where(is_start, cw - cw_ext[nxt], 0)
-        n_valid = jnp.sum(sw)
+    is_uniq, counts, n_valid = _mark_and_count(
+        list(swords), svalid, None if weights is None else out[W]
+    )
 
     return SortedCounts(
         words=jnp.stack(swords, axis=1),
         bins=None,
-        is_start=is_start,
+        is_uniq=is_uniq,
         counts=counts,
         n_valid=n_valid,
     )

@@ -86,7 +86,7 @@ class ShardCounts(NamedTuple):
 
     words:    [n, S, W]  sorted unique-run view per chip (S = n*cap slots)
     bins:     [n, S]
-    is_start: [n, S]
+    is_uniq:  [n, S]
     counts:   [n, S]
     n_valid:  [n]        counted instances per chip
     dropped:  []         total entries dropped by capacity overflow (global)
@@ -96,7 +96,7 @@ class ShardCounts(NamedTuple):
 
     words: jnp.ndarray
     bins: jnp.ndarray
-    is_start: jnp.ndarray
+    is_uniq: jnp.ndarray
     counts: jnp.ndarray
     n_valid: jnp.ndarray
     dropped: jnp.ndarray
@@ -170,7 +170,7 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
         mesh=mesh,
         in_specs=(P(AXIS, None), P()),
         out_specs=ShardCounts(
-            words=P(AXIS), bins=P(AXIS), is_start=P(AXIS), counts=P(AXIS),
+            words=P(AXIS), bins=P(AXIS), is_uniq=P(AXIS), counts=P(AXIS),
             n_valid=P(AXIS), dropped=P(), collision=P(),
         ),
         check_vma=_check_vma(use_pallas, pallas_interpret),
@@ -201,7 +201,7 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
         sc = sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
         dropped = jax.lax.psum(ndrop, AXIS)
         return ShardCounts(
-            words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],
+            words=sc.words[None], bins=sc.bins[None], is_uniq=sc.is_uniq[None],
             counts=sc.counts[None], n_valid=sc.n_valid[None], dropped=dropped,
             collision=collision,
         )
@@ -233,7 +233,7 @@ def build_distributed_count_smer(
         mesh=mesh,
         in_specs=(P(AXIS, None), P()),
         out_specs=ShardCounts(
-            words=P(AXIS), bins=P(AXIS), is_start=P(AXIS), counts=P(AXIS),
+            words=P(AXIS), bins=P(AXIS), is_uniq=P(AXIS), counts=P(AXIS),
             n_valid=P(AXIS), dropped=P(), collision=P(),
         ),
     )
@@ -264,7 +264,7 @@ def build_distributed_count_smer(
         sc = sc._replace(bins=binhash.bins_from_words(sc.words, k, m, B))
         dropped = jax.lax.psum(ndrop, AXIS)
         return ShardCounts(
-            words=sc.words[None], bins=sc.bins[None], is_start=sc.is_start[None],
+            words=sc.words[None], bins=sc.bins[None], is_uniq=sc.is_uniq[None],
             counts=sc.counts[None], n_valid=sc.n_valid[None], dropped=dropped,
             collision=jax.lax.psum(jnp.int32(0), AXIS),
         )
@@ -321,10 +321,10 @@ def compact_shard_counts(sc: ShardCounts):
     """Host: ShardCounts -> list per chip of (words, counts, bins) uniques."""
     words = np.asarray(sc.words)
     bins = np.asarray(sc.bins)
-    is_start = np.asarray(sc.is_start)
+    is_uniq = np.asarray(sc.is_uniq)
     counts = np.asarray(sc.counts)
     out = []
     for c in range(words.shape[0]):
-        idx = np.flatnonzero(is_start[c])
+        idx = np.flatnonzero(is_uniq[c])
         out.append((words[c][idx], counts[c][idx].astype(np.int64), bins[c][idx]))
     return out

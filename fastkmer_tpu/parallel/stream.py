@@ -31,10 +31,10 @@ Fixed capacities (TPU has no dynamic shapes): ``cap`` bounds per-(src,dst)
 exchange lanes, ``acc_cap`` bounds distinct k-mers held per chip; all
 overflow is DETECTED via psum'd counters, never silent.
 
-Compaction back to acc_cap is one more sort on a monotone float-to-front
-key — never a scatter (TPU scatters serialize) and never a gather
-(a random gather costs ~9 ns/elem on TPU, ~3x a whole sort pass per
-binary-search step; benchmarks/primitives.py).
+Compaction back to acc_cap is one more sort on the key words themselves
+(non-marker rows sentineled first) — never a scatter (TPU scatters
+serialize) and never a gather (a random gather costs ~9 ns/elem on TPU,
+~3x a whole sort pass per binary-search step; benchmarks/primitives.py).
 """
 
 from __future__ import annotations
@@ -53,6 +53,7 @@ from . import exchange
 
 AXIS = exchange.AXIS
 _ONES = jnp.uint32(0xFFFFFFFF)
+_INIT_CACHE: dict = {}  # (mesh, n, acc_cap, W) -> jitted on-device init
 
 
 class AccState(NamedTuple):
@@ -116,16 +117,27 @@ class DistributedCounter:
         self.n_retries = 0
 
     def _init_state(self) -> AccState:
-        n, acc_cap, W = self.n, self.acc_cap, self.W
-        dev = NamedSharding(self.mesh, P(AXIS))
-        rep = NamedSharding(self.mesh, P())
-        return AccState(
-            words=jax.device_put(np.full((n, acc_cap, W), 0xFFFFFFFF, np.uint32), dev),
-            wts=jax.device_put(np.zeros((n, acc_cap), np.int32), dev),
-            n_unique=jax.device_put(np.zeros(n, np.int32), dev),
-            dropped=jax.device_put(np.int32(0), rep),
-            overflow=jax.device_put(np.int32(0), rep),
-        )
+        # built ON DEVICE: device_put of host sentinel padding ships
+        # n*acc_cap*(W+1)*4 bytes over the host link for nothing (measured
+        # ~2.5 s per 2^24-row accumulator through the tunnel)
+        key = (self.mesh, self.n, self.acc_cap, self.W)
+        fn = _INIT_CACHE.get(key)
+        if fn is None:
+            n, acc_cap, W = self.n, self.acc_cap, self.W
+            dev = NamedSharding(self.mesh, P(AXIS))
+            rep = NamedSharding(self.mesh, P())
+            fn = jax.jit(
+                lambda: AccState(
+                    words=jnp.full((n, acc_cap, W), 0xFFFFFFFF, jnp.uint32),
+                    wts=jnp.zeros((n, acc_cap), jnp.int32),
+                    n_unique=jnp.zeros(n, jnp.int32),
+                    dropped=jnp.int32(0),
+                    overflow=jnp.int32(0),
+                ),
+                out_shardings=AccState(dev, dev, dev, rep, rep),
+            )
+            _INIT_CACHE[key] = fn
+        return fn()
 
     # ------------------------------------------------------------------ #
     # per-batch exchange: extract -> route -> all_to_all (NO sort/count) #
@@ -209,9 +221,9 @@ class DistributedCounter:
             # the front IN KEY ORDER with no extra index-key lane.  A sort,
             # not a gather (a gather costs ~3x a sort pass per binary-search
             # step on TPU — benchmarks/primitives).
-            n_u = jnp.sum(sc.is_start.astype(jnp.int32))
+            n_u = jnp.sum(sc.is_uniq.astype(jnp.int32))
             ccols = tuple(
-                jnp.where(sc.is_start, sc.words[:, w], _ONES) for w in range(W)
+                jnp.where(sc.is_uniq, sc.words[:, w], _ONES) for w in range(W)
             )
             out = jax.lax.sort(ccols + (sc.counts,), num_keys=W, is_stable=False)
             new_words = jnp.stack([out[w][:acc_cap] for w in range(W)], axis=1)

@@ -115,8 +115,8 @@ def _to_merge_rows(sc: count_sort.SortedCounts):
     keep their words + total count, all other rows become sentinel/0."""
     W = sc.words.shape[1]
     ones = jnp.uint32(0xFFFFFFFF)
-    cols = tuple(jnp.where(sc.is_start, sc.words[:, w], ones) for w in range(W))
-    return cols, jnp.where(sc.is_start, sc.counts, 0)
+    cols = tuple(jnp.where(sc.is_uniq, sc.words[:, w], ones) for w in range(W))
+    return cols, jnp.where(sc.is_uniq, sc.counts, 0)
 
 
 @partial(jax.jit, static_argnames=("k", "m", "B", "use_pallas"))
@@ -137,6 +137,14 @@ def _batch_extract_keys(codes: jnp.ndarray, k: int, m: int, B: int, use_pallas: 
 @jax.jit
 def _pack_stats(n_unique, overflow):
     return jnp.stack([n_unique.astype(jnp.int32), overflow.astype(jnp.int32)])
+
+
+@partial(jax.jit, static_argnames=("acc_cap", "lanes"))
+def _init_acc_state(acc_cap: int, lanes: int):
+    cols = tuple(
+        jnp.full(acc_cap, 0xFFFFFFFF, jnp.uint32) for _ in range(lanes)
+    )
+    return (cols, jnp.zeros(acc_cap, jnp.int32), jnp.int32(0), jnp.int32(0))
 
 
 def _acc_merge(parts, acc):
@@ -178,15 +186,15 @@ def _acc_merge(parts, acc):
     # skip count_sorted's validity rewrite pass entirely
     sc = count_sort.count_presentineled(mcols, weights=wts)
     # compaction to acc_cap: one more sort, this time on the WORDS themselves
-    # — run-tail rows are rewritten to the all-ones sentinel (safe: this path
-    # is gated on sentinel_safe_for(k)), so unique run heads sort to the
-    # front IN KEY ORDER with no extra index-key lane (W+1 lanes, not W+2).
+    # — non-marker rows are rewritten to the all-ones sentinel (safe: this
+    # path is gated on sentinel_safe_for(k)), so the marker row of each run
+    # sorts to the front IN KEY ORDER with no extra index-key lane.
     # A sort, not a gather: on TPU a random gather costs ~9 ns/elem
     # (~3x a whole sort pass per binary-search step — benchmarks/primitives),
     # so binary-search compaction is ~50x slower here (BASELINE.md table).
-    n_u = jnp.sum(sc.is_start.astype(jnp.int32))
+    n_u = jnp.sum(sc.is_uniq.astype(jnp.int32))
     ccols = tuple(
-        jnp.where(sc.is_start, sc.words[:, w], ones) for w in range(W)
+        jnp.where(sc.is_uniq, sc.words[:, w], ones) for w in range(W)
     )
     out = jax.lax.sort(ccols + (sc.counts,), num_keys=W, is_stable=False)
     new_cols = tuple(out[w][:acc_cap] for w in range(W))
@@ -283,16 +291,10 @@ class DeviceAccumulator:
         self._merge = _MERGE_JIT  # shared across instances: one trace cache
 
     def _init_state(self):
-        cols = tuple(
-            jax.device_put(np.full(self.acc_cap, 0xFFFFFFFF, np.uint32))
-            for _ in range(self.lanes)
-        )
-        return (
-            cols,
-            jax.device_put(np.zeros(self.acc_cap, np.int32)),
-            jax.device_put(np.int32(0)),
-            jax.device_put(np.int32(0)),
-        )
+        # built ON DEVICE: a host device_put of the sentinel padding ships
+        # acc_cap*(lanes+1)*4 bytes over the host link for no reason
+        # (measured 2.5 s per accumulator through the tunnel at cap=2^24)
+        return _init_acc_state(self.acc_cap, self.lanes)
 
     def add_raw(self, cols: tuple) -> None:
         """Buffer one batch of pre-sentineled key columns (weight 1 each)."""
@@ -432,8 +434,7 @@ class DeviceAccumulator:
 
 def _compact(sc: count_sort.SortedCounts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Device SortedCounts -> host (unique words, counts, bins)."""
-    is_start = np.asarray(sc.is_start)
-    idx = np.flatnonzero(is_start)
+    idx = np.flatnonzero(np.asarray(sc.is_uniq))
     return (
         np.asarray(sc.words)[idx],
         np.asarray(sc.counts)[idx].astype(np.int64),

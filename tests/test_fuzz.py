@@ -36,7 +36,7 @@ def test_fuzz_all_paths_agree(k, m):
     expect = dict(oracles.count_reads(reads, k))
 
     def table_from(sc):
-        idx = np.flatnonzero(np.asarray(sc.is_start))
+        idx = np.flatnonzero(np.asarray(sc.is_uniq))
         kmers = bits.decode_words_batch(np.asarray(sc.words)[idx], k)
         return {
             km.decode(): int(c)
@@ -54,7 +54,7 @@ def test_fuzz_all_paths_agree(k, m):
     # HT engine
     sc_ht, collision = count_hash.count_hashed(ex.words, ex.bins, ex.valid)
     assert not bool(collision)
-    ht_idx = np.flatnonzero(np.asarray(sc_ht.is_start))
+    ht_idx = np.flatnonzero(np.asarray(sc_ht.is_uniq))
     ht_kmers = bits.decode_words_batch(np.asarray(sc_ht.words)[ht_idx], k)
     ht = {
         km.decode(): int(c)

@@ -50,8 +50,8 @@ def test_pallas_sentinel_count_parity(k, m):
     ex = jax.jit(lambda c: jex.extract(c, k, m, B))(jc)
     sc_j = count_sort.count_sorted(ex.words, None, ex.valid, sentinel_safe=True)
 
-    sp = np.flatnonzero(np.asarray(sc_p.is_start))
-    sj = np.flatnonzero(np.asarray(sc_j.is_start))
+    sp = np.flatnonzero(np.asarray(sc_p.is_uniq))
+    sj = np.flatnonzero(np.asarray(sc_j.is_uniq))
     np.testing.assert_array_equal(np.asarray(sc_p.words)[sp], np.asarray(sc_j.words)[sj])
     np.testing.assert_array_equal(np.asarray(sc_p.counts)[sp], np.asarray(sc_j.counts)[sj])
     assert int(sc_p.n_valid) == int(sc_j.n_valid)

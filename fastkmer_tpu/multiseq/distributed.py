@@ -37,9 +37,16 @@ def _sequence_tag(header: str) -> str:
 
 def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
                                      verbose: bool = True):
-    """Multi-chip execute_multiseq_job (same MultiseqConfig / result type)."""
-    from ..core import bits as bmod
-    from ..ingest import fasta
+    """Multi-chip execute_multiseq_job (same MultiseqConfig / result type).
+
+    Honors ``use_custom_partitioner``/``num_partition_tasks`` with the same
+    sampled LPT pre-pass as the counting driver — the reference multiseq
+    orchestrator supports the custom partitioner too
+    (SparkMultiSequenceKmerCounter.scala:580-583).  Ingest uses tagged DENSE
+    row packing (multiple reads per row, one sequence per row), and the
+    exchange capacity is sized from the sampled histogram, not worst-case.
+    """
+    from ..ingest import batch as batching, fasta
     from ..output import writer
     from ..utils.timing import StageTimer
     from . import distances as dist_mod
@@ -52,11 +59,54 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
     W = num_words(cfg.k)
     R = -(-cfg.reads_per_batch // n) * n
     L = cfg.read_len
-    if cap is None:
-        cap = (R // n) * (L - cfg.k + 1)
-    from ..parallel import partitioner, stream
+    from ..parallel import exchange as ex_mod, partitioner, stream
 
-    owner_map = partitioner.hash_owner_map(cfg.b, n)
+    seq_names: list[str] = []
+    name_to_id: dict[str, int] = {}
+
+    def tagged_reads():
+        # seq ids are assigned in first-seen order, which is deterministic
+        # across the sampling pre-pass and the main pass
+        for name, seq in fasta.iter_reads(cfg.dataset, cfg.sequence_type, cfg.k, L):
+            base_name = _sequence_tag(name)
+            if base_name not in name_to_id:
+                name_to_id[base_name] = len(seq_names)
+                seq_names.append(base_name)
+            yield name_to_id[base_name], seq
+
+    def batches():
+        return batching.batch_codes_dense_tagged(tagged_reads(), R, L)
+
+    # --- optional LPT pre-pass on a sample of batches (reference:
+    # SparkMultiSequenceKmerCounter.scala:580-583, 1%/10% sampling) ---
+    hist = np.zeros(cfg.b, dtype=np.int64)
+    if cfg.use_custom_partitioner:
+        est = ex_mod.estimate_bin_sizes(mesh, cfg.k, cfg.m, cfg.b)
+        take = max(1, int(round(1.0 / max(cfg.sample_fraction, 1e-9))))
+        with timer.span("lpt_prepass"):
+            for i, (codes, _sids, _, _) in enumerate(batches()):
+                if i % take == 0:
+                    hist += np.asarray(
+                        est(ex_mod.shard_batch(mesh, codes)), dtype=np.int64
+                    )
+        T = cfg.num_partition_tasks or n
+        task_map = partitioner.lpt_owner_map(hist, T, cfg.b)
+        owner_map = (task_map % n).astype(np.int32)
+    else:
+        owner_map = partitioner.hash_owner_map(cfg.b, n)
+
+    positions = (R // n) * (L - cfg.k + 1)
+    if cap is None:
+        if not hist.any():
+            est = ex_mod.estimate_bin_sizes(mesh, cfg.k, cfg.m, cfg.b)
+            with timer.span("cap_sizing"):
+                for codes, _sids, _, _ in batches():
+                    hist += np.asarray(
+                        est(ex_mod.shard_batch(mesh, codes)), dtype=np.int64
+                    )
+                    break
+        cap = partitioner.size_exchange_cap(hist, owner_map, n, positions)
+
     # streaming device-resident (k-mer, seq) tables — the seq id rides the
     # all-to-all as an extra key lane; per-batch host pulls eliminated
     acc_cap = 1 << max(14, (2 * n * cap - 1).bit_length())
@@ -64,32 +114,9 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
         mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap, owner_map, with_seq=True
     )
 
-    seq_names: list[str] = []
-    name_to_id: dict[str, int] = {}
-    buf = np.full((R, L), 4, dtype=np.uint8)
-    sid = np.zeros(R, dtype=np.int32)
-    row = 0
-
     with timer.span("count"):
-        for name, seq in fasta.iter_reads(cfg.dataset, cfg.sequence_type, cfg.k, L):
-            base_name = _sequence_tag(name)
-            if base_name not in name_to_id:
-                name_to_id[base_name] = len(seq_names)
-                seq_names.append(base_name)
-            codes = bmod.encode_ascii(seq)
-            buf[row, : codes.shape[0]] = codes
-            sid[row] = name_to_id[base_name]
-            row += 1
-            if row == R:
-                ctr.feed(buf, n_reads=R, seq_ids=sid)
-                # fresh buffers: feed() dispatches asynchronously and on the
-                # CPU backend device_put aliases numpy memory zero-copy —
-                # mutating the old buffer here would race the exchange
-                buf = np.full((R, L), 4, dtype=np.uint8)
-                sid = np.zeros(R, dtype=np.int32)
-                row = 0
-        if row:
-            ctr.feed(buf, n_reads=row, seq_ids=sid)
+        for codes, sids, nr, nb in batches():
+            ctr.feed(codes, n_reads=nr, n_bases=nb, seq_ids=sids)
 
     with timer.span("merge"):
         words_ext, counts, bins = ctr.finalize()

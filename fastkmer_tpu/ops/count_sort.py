@@ -174,6 +174,82 @@ def count_presentineled(cols: list, weights: jnp.ndarray | None = None) -> Sorte
     )
 
 
+def compact_marked(
+    cols: tuple,
+    counts: jnp.ndarray,
+    is_uniq: jnp.ndarray,
+    out_cap: int,
+    block: int = 8192,
+):
+    """Compact the marker rows of a SORTED run view to the front, in order,
+    at fixed capacity.
+
+    Returns (cols_out tuple of [out_cap], counts_out [out_cap], n_u scalar,
+    overflow scalar) — rows past n_u are sentinel/0; uniques beyond out_cap
+    are dropped and counted in ``overflow``.
+
+    Not a global sort: non-marker rows are rewritten to the all-ones
+    sentinel, then each BLOCK of rows is sorted locally — the input is
+    globally sorted, so blocks are in global order and a block-local sort
+    pushes its live rows to the block front still in global order, at
+    log2(block)^2 comparator stages instead of log2(N)^2.  Block prefixes
+    are stitched with a lax.scan of dynamic_update_slice at cumulative
+    offsets (each block writes its full width; the next block's write
+    starts exactly after this block's live prefix, overwriting the sentinel
+    tail).  Measured at 2^27 rows x 3 lanes: 0.26 s vs 0.86 s for the
+    global compaction sort (benchmarks/block_probe.py).
+
+    Requires the sentinel to sort after every live row (sentinel-safe keys,
+    or a trailing lane that is never all-ones on live rows).
+    """
+    N = cols[0].shape[0]
+    W = len(cols)
+    block = min(block, N)
+    assert N % block == 0, (N, block)
+    nb = N // block
+    ones = jnp.uint32(0xFFFFFFFF)
+    ccols = [jnp.where(is_uniq, c, ones) for c in cols]
+    cnts = jnp.where(is_uniq, counts, 0)
+    blocked = jax.lax.sort(
+        tuple(c.reshape(nb, block) for c in ccols) + (cnts.reshape(nb, block),),
+        dimension=1,
+        num_keys=W,
+        is_stable=False,
+    )
+    live = blocked[W - 1] != ones  # [nb, block]
+    h = jnp.sum(live.astype(jnp.int32), axis=1)
+    n_u = jnp.sum(h)
+    off = jnp.minimum(jnp.cumsum(h) - h, jnp.int32(out_cap))
+    init = tuple(jnp.full(out_cap + block, ones, jnp.uint32) for _ in range(W)) + (
+        jnp.zeros(out_cap + block, jnp.int32),
+    )
+    # under shard_map the data is varying over the mesh axes while these
+    # fresh constants are not — the scan carry must agree, so mark them
+    vma = getattr(getattr(cols[0], "aval", None), "vma", frozenset())
+    if vma:
+        init = tuple(
+            jax.lax.pcast(a, tuple(vma), to="varying") for a in init
+        )
+
+    def body(carry, x):
+        *blocks, o = x
+        return (
+            tuple(
+                jax.lax.dynamic_update_slice(carry[i], blocks[i], (o,))
+                for i in range(W + 1)
+            ),
+            None,
+        )
+
+    out, _ = jax.lax.scan(body, init, tuple(blocked) + (off,))
+    return (
+        tuple(out[w][:out_cap] for w in range(W)),
+        out[W][:out_cap],
+        n_u,
+        jnp.maximum(n_u - out_cap, 0),
+    )
+
+
 def sentinel_safe_for(k: int) -> bool:
     """True when the last packed word has zero pad bits (k % 16 != 0), so
     the all-ones sentinel cannot collide with any real k-mer."""

@@ -47,6 +47,40 @@ def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins) -> str:
     return path
 
 
+TABLE_SIDECAR = "table.npz"
+
+
+def write_table_sidecar(out_dir: str, words, counts, bins) -> str:
+    """Binary snapshot of the final table next to the bin files — lets
+    repair_output rewrite damaged bins with zero recounting.  Validated
+    against the manifest checksum at load time, so a stale or truncated
+    sidecar can never silently repair with wrong counts."""
+    path = os.path.join(out_dir, TABLE_SIDECAR)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # file handle: savez can't rename-append .npz
+        np.savez(f, words=words, counts=counts, bins=bins)
+    os.replace(tmp, path)  # atomic: never a truncated sidecar
+    return path
+
+
+def load_table_sidecar(out_dir: str):
+    """-> (words, counts, bins) if a sidecar exists AND matches the
+    manifest checksum, else None."""
+    path = os.path.join(out_dir, TABLE_SIDECAR)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            manifest = json.load(f)
+        z = np.load(path)
+        words, counts, bins = z["words"], z["counts"], z["bins"]
+    except Exception:
+        return None
+    if table_checksum(words, counts) != manifest.get("checksum"):
+        return None
+    return words, counts, bins
+
+
 def verify_output(out_dir: str) -> dict:
     """Check every bin file recorded in the manifest exists with the right
     number of k-mer lines.  Returns {ok, missing, mismatched}."""
@@ -67,33 +101,72 @@ def verify_output(out_dir: str) -> dict:
 
 
 class BatchCheckpointer:
-    """Persist per-batch partial tables so a job can resume mid-file."""
+    """Persist partial tables so a job can resume mid-file.
 
-    def __init__(self, ckpt_dir: str):
+    Two flows share the cursor file (the cursor is authoritative; stray
+    part files past it are ignored, so a crash between a part write and the
+    cursor rename is harmless):
+
+    * per-batch (``save_batch``): one npz per batch index — the host-merge
+      path, where every batch's compacted table visits the host anyway.
+    * spill-based (``save_spills``): device-accumulator paths checkpoint at
+      MERGE boundaries by forcing a spill (table pull + device reset) every
+      ``interval`` batches and persisting the new spill parts + the batch
+      cursor.  Resume preloads the spills into ``host_spills`` and skips
+      the covered batches — exact by construction, since spilled parts are
+      merged by the same weighted group-by as live ones.  On a multi-host
+      mesh each process owns its own directory (spills are process-local).
+    """
+
+    def __init__(self, ckpt_dir: str, interval: int = 32):
         self.dir = ckpt_dir
+        self.interval = interval
         os.makedirs(ckpt_dir, exist_ok=True)
         self.cursor_path = os.path.join(ckpt_dir, "cursor.json")
 
-    def completed_batches(self) -> int:
+    def _cursor(self) -> dict:
         if not os.path.exists(self.cursor_path):
-            return 0
+            return {"completed": 0, "spills": 0}
         with open(self.cursor_path) as f:
-            return json.load(f)["completed"]
+            cur = json.load(f)
+        cur.setdefault("spills", 0)
+        return cur
+
+    def _write_cursor(self, cur: dict) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, self.cursor_path)  # atomic cursor update
+
+    def completed_batches(self) -> int:
+        return self._cursor()["completed"]
 
     def save_batch(self, index: int, words, counts, bins) -> None:
         np.savez(
             os.path.join(self.dir, f"part{index:06d}.npz"),
             words=words, counts=counts, bins=bins,
         )
-        tmp = self.cursor_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"completed": index + 1}, f)
-        os.replace(tmp, self.cursor_path)  # atomic cursor update
+        self._write_cursor({"completed": index + 1, "spills": 0})
+
+    def save_spills(self, completed: int, parts: list, first_seq: int) -> None:
+        """Persist ``parts`` as spill files ``first_seq..`` and advance the
+        cursor to ``completed`` batches."""
+        for i, (words, counts, bins) in enumerate(parts):
+            np.savez(
+                os.path.join(self.dir, f"spill{first_seq + i:06d}.npz"),
+                words=words, counts=counts, bins=bins,
+            )
+        self._write_cursor({"completed": completed, "spills": first_seq + len(parts)})
 
     def load_parts(self) -> list:
+        cur = self._cursor()
+        if cur["spills"]:
+            names = [f"spill{i:06d}.npz" for i in range(cur["spills"])]
+        else:
+            names = [f"part{i:06d}.npz" for i in range(cur["completed"])]
         parts = []
-        for i in range(self.completed_batches()):
-            z = np.load(os.path.join(self.dir, f"part{i:06d}.npz"))
+        for name in names:
+            z = np.load(os.path.join(self.dir, name))
             parts.append((z["words"], z["counts"], z["bins"]))
         return parts
 

@@ -65,6 +65,8 @@ def execute_job_distributed(
     streaming: bool | None = None,
     acc_cap: int | None = None,
     fanin: int = 4,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 32,
 ) -> DistributedResult:
     timer = StageTimer()
     n = mesh.shape[exchange.AXIS]
@@ -138,14 +140,40 @@ def execute_job_distributed(
             mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap,
             owner_map=owner_map, fanin=fanin,
         )
-        for codes, nr, nb in batches():
+        # checkpoint/resume at merge boundaries: a forced spill every
+        # `checkpoint_interval` batches persists the per-chip tables
+        # (manifest.BatchCheckpointer spill flow) — the mesh analogue of
+        # the single-chip accumulator checkpoint.  Process-local directory
+        # on multi-host meshes (each process pulls only its own shards).
+        ckpt = None
+        skip = 0
+        persisted = 0
+        if checkpoint_dir:
+            from ..output import manifest as manifest_mod
+
+            ckpt = manifest_mod.BatchCheckpointer(checkpoint_dir, checkpoint_interval)
+            skip = ckpt.completed_batches()
+            ctr.host_spills.extend(ckpt.load_parts())
+            persisted = len(ctr.host_spills)
+        for i, (codes, nr, nb) in enumerate(batches()):
+            if i < skip:  # already counted before the interruption
+                ctr.n_reads += nr
+                ctr.n_bases += nb
+                continue
             with timer.span("device_step"):
                 ctr.feed(codes, n_reads=nr, n_bases=nb)
+            if ckpt is not None and (i + 1) % ckpt.interval == 0:
+                with timer.span("checkpoint"):
+                    ctr.spill()
+                    ckpt.save_spills(i + 1, ctr.host_spills[persisted:], persisted)
+                    persisted = len(ctr.host_spills)
         with timer.span("merge"):
             words, counts, bins = ctr.finalize()
         if cfg.write:
             with timer.span("write_output"):
                 _write_output(cfg, words, counts, bins)
+        if ckpt is not None:
+            ckpt.clear()  # run completed
         return DistributedResult(
             words, counts, bins, int(counts.sum()), ctr.n_bases, ctr.n_reads,
             owner_map, balance, ctr.exchange_bytes, timer.as_dict(),

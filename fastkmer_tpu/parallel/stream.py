@@ -215,20 +215,15 @@ class DistributedCounter:
             # all inputs are pre-sentineled with zero weights on sentinel
             # rows — skip count_sorted's validity rewrite pass entirely
             sc = count_sort.count_presentineled(mcols, weights=wts)
-            # compaction to acc_cap: one more sort on the WORDS themselves —
-            # run-tail rows are rewritten to the all-ones sentinel (safe:
-            # the ctor asserts sentinel safety), so unique run heads sort to
-            # the front IN KEY ORDER with no extra index-key lane.  A sort,
-            # not a gather (a gather costs ~3x a sort pass per binary-search
-            # step on TPU — benchmarks/primitives).
-            n_u = jnp.sum(sc.is_uniq.astype(jnp.int32))
-            ccols = tuple(
-                jnp.where(sc.is_uniq, sc.words[:, w], _ONES) for w in range(W)
+            # compaction to acc_cap: block-local sorts + scan placement
+            # (count_sort.compact_marked) — never a global sort (7x dearer
+            # at merge width), never a gather/scatter; sentinel-safety is
+            # asserted in the ctor
+            ncols, new_wts, n_u, over = count_sort.compact_marked(
+                tuple(sc.words[:, w] for w in range(W)), sc.counts, sc.is_uniq,
+                acc_cap,
             )
-            out = jax.lax.sort(ccols + (sc.counts,), num_keys=W, is_stable=False)
-            new_words = jnp.stack([out[w][:acc_cap] for w in range(W)], axis=1)
-            new_wts = out[W][:acc_cap]
-            over = jnp.maximum(n_u - acc_cap, 0)
+            new_words = jnp.stack(ncols, axis=1)
             return AccState(
                 words=new_words[None],
                 wts=new_wts[None],

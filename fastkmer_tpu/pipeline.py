@@ -185,21 +185,13 @@ def _acc_merge(parts, acc):
     # all inputs are pre-sentineled with zero weights on sentinel rows —
     # skip count_sorted's validity rewrite pass entirely
     sc = count_sort.count_presentineled(mcols, weights=wts)
-    # compaction to acc_cap: one more sort, this time on the WORDS themselves
-    # — non-marker rows are rewritten to the all-ones sentinel (safe: this
-    # path is gated on sentinel_safe_for(k)), so the marker row of each run
-    # sorts to the front IN KEY ORDER with no extra index-key lane.
-    # A sort, not a gather: on TPU a random gather costs ~9 ns/elem
-    # (~3x a whole sort pass per binary-search step — benchmarks/primitives),
-    # so binary-search compaction is ~50x slower here (BASELINE.md table).
-    n_u = jnp.sum(sc.is_uniq.astype(jnp.int32))
-    ccols = tuple(
-        jnp.where(sc.is_uniq, sc.words[:, w], ones) for w in range(W)
+    # compaction to acc_cap: block-local sorts + scan placement — never a
+    # global sort (7x dearer at this width), never a gather/scatter
+    # (count_sort.compact_marked; sentinel-safety is guaranteed on this
+    # path by the sentinel_safe_for(k) / extra-lane gate)
+    new_cols, new_wts, n_u, over = count_sort.compact_marked(
+        tuple(sc.words[:, w] for w in range(W)), sc.counts, sc.is_uniq, acc_cap
     )
-    out = jax.lax.sort(ccols + (sc.counts,), num_keys=W, is_stable=False)
-    new_cols = tuple(out[w][:acc_cap] for w in range(W))
-    new_wts = out[W][:acc_cap]
-    over = jnp.maximum(n_u - acc_cap, 0)
     return (new_cols, new_wts, jnp.minimum(n_u, acc_cap), acc_over + over)
 
 
@@ -480,27 +472,35 @@ def count_batches(
     n_reads = 0
     n_bases = 0
     W = num_words(k)
-    skip = 0
-    if checkpointer is not None:
-        skip = checkpointer.completed_batches()
-        parts.extend(checkpointer.load_parts())
     use_pallas = engine == "sort" and pallas_count_available(k)
     if device_accumulate is None:
         device_accumulate = (
-            checkpointer is None
-            and engine == "sort"
+            engine == "sort"
             and count_sort.sentinel_safe_for(k)
             and jax.default_backend() != "cpu"
         )
     device_accumulate = (
         device_accumulate and engine == "sort" and count_sort.sentinel_safe_for(k)
-        and checkpointer is None
     )
     acc = (
         DeviceAccumulator(k, m=m, B=B, unique_ub=unique_ub)
         if device_accumulate
         else None
     )
+    skip = 0
+    persisted_spills = 0
+    if checkpointer is not None:
+        # resume: previously persisted parts re-enter the final merge; the
+        # covered batches are skipped below.  The accumulator path
+        # checkpoints by forcing a spill every checkpointer.interval
+        # batches (manifest.BatchCheckpointer spill flow), so resumable
+        # runs keep the deferred device-resident fast path.
+        skip = checkpointer.completed_batches()
+        if acc is not None:
+            acc.host_spills.extend(checkpointer.load_parts())
+            persisted_spills = len(acc.host_spills)
+        else:
+            parts.extend(checkpointer.load_parts())
     coll_flag = jnp.zeros((), bool) if engine == "hash" else None
     for batch_idx, (codes, nr, nb) in enumerate(batches):
         if batch_idx < skip:  # already counted before the interruption
@@ -522,6 +522,21 @@ def count_batches(
         if acc is not None:
             with timer.span("device_merge"):
                 acc.add_raw(cols)
+            if (
+                checkpointer is not None
+                and (batch_idx + 1) % checkpointer.interval == 0
+            ):
+                with timer.span("checkpoint"):
+                    acc._merge_pending()
+                    stats = acc._stats()
+                    acc._raise_if_lost(stats)
+                    acc._spill(stats)
+                    checkpointer.save_spills(
+                        batch_idx + 1,
+                        acc.host_spills[persisted_spills:],
+                        persisted_spills,
+                    )
+                    persisted_spills = len(acc.host_spills)
         else:
             with timer.span("host_compact"):
                 part = _compact(sc)
@@ -555,6 +570,8 @@ def execute_job(
     verbose: bool = True,
     checkpoint_dir: str | None = None,
     trace_dir: str | None = None,
+    keep_table: bool = False,
+    unique_ub: int | None = None,
 ) -> CountResult:
     """Count k-mers in cfg.dataset and (optionally) write per-bin files.
 
@@ -566,6 +583,11 @@ def execute_job(
     ``trace_dir`` wraps the run in a jax.profiler trace.
     ``use_kryo_serializer`` maps to the binary output format (the Kryo
     writer was the reference's binary variant, SparkBinKmerCounter.scala:557).
+    ``keep_table`` additionally writes a binary sidecar (table.npz) of the
+    final table so ``repair_output`` can rewrite damaged bin files WITHOUT
+    recounting the dataset (checksum-validated against the manifest).
+    ``unique_ub`` — caller-asserted bound on distinct k-mers (e.g. genome
+    length): enables the zero-sync accumulator feed; verified at finalize.
     """
     from .output import manifest as manifest_mod
     from .utils.timing import maybe_profile
@@ -584,7 +606,8 @@ def execute_job(
     engine = "hash" if cfg.use_ht else "sort"
     with maybe_profile(trace_dir):
         res = count_batches(
-            batches, cfg.k, cfg.m, cfg.b, timer, engine=engine, checkpointer=ckpt
+            batches, cfg.k, cfg.m, cfg.b, timer, engine=engine, checkpointer=ckpt,
+            unique_ub=unique_ub,
         )
     if cfg.write:
         with timer.span("write_output"):
@@ -598,6 +621,10 @@ def execute_job(
             manifest_mod.write_manifest(
                 cfg.output_dir, dataclasses_dict(cfg), res.words, res.counts, res.bins
             )
+            if keep_table:
+                manifest_mod.write_table_sidecar(
+                    cfg.output_dir, res.words, res.counts, res.bins
+                )
     if ckpt is not None:
         ckpt.clear()  # run completed; checkpoints no longer needed
     return res._replace(timings=timer.as_dict())
@@ -612,8 +639,14 @@ def dataclasses_dict(cfg: JobConfig) -> dict:
 def repair_output(cfg: JobConfig, verbose: bool = True) -> dict:
     """Idempotent re-run of failed bins (SURVEY §5: the recovery mechanism
     the reference's commented-out bin bookkeeping gestured at,
-    SparkBinKmerCounter.scala:608-639): verify the manifest, recount, and
-    rewrite ONLY the missing/mismatched bin files."""
+    SparkBinKmerCounter.scala:608-639): verify the manifest and rewrite
+    ONLY the missing/mismatched bin files.
+
+    Source of truth, in order of cost: a checksum-valid ``table.npz``
+    sidecar (written by ``execute_job(keep_table=True)``) rewrites bad bins
+    with ZERO recounting; otherwise the dataset is fully recounted —
+    counting is pure, so this is exact but touches every batch.
+    """
     from .output import manifest as manifest_mod
 
     status = manifest_mod.verify_output(cfg.output_dir)
@@ -622,11 +655,18 @@ def repair_output(cfg: JobConfig, verbose: bool = True) -> dict:
     bad = set(status["missing"]) | set(status["mismatched"])
     if verbose:
         print(f"repairing {len(bad)} bins: {sorted(bad)}")
-    # recount (pure) and rewrite only the bad bins
-    res = execute_job(dataclasses_replace(cfg, write=False), verbose=False)
-    sel = np.isin(res.bins, list(bad))
+    table = manifest_mod.load_table_sidecar(cfg.output_dir)
+    if table is not None:
+        words, counts, bins = table
+        if verbose:
+            print("repairing from table.npz sidecar (no recount)")
+    else:
+        # recount (pure) and rewrite only the bad bins
+        res = execute_job(dataclasses_replace(cfg, write=False), verbose=False)
+        words, counts, bins = res.words, res.counts, res.bins
+    sel = np.isin(bins, list(bad))
     writer.write_bin_files(
-        cfg.output_dir, res.words[sel], res.counts[sel], res.bins[sel], cfg.k,
+        cfg.output_dir, words[sel], counts[sel], bins[sel], cfg.k,
         eof_sentinel=not cfg.use_ht, clean=False,  # partial rewrite
     )
     return manifest_mod.verify_output(cfg.output_dir)

@@ -70,6 +70,92 @@ def test_checkpoint_resume(tmp_path):
     assert ckpt.completed_batches() == 0  # cleared after completion
 
 
+def test_checkpoint_resume_device_accumulator(tmp_path):
+    """Kill-and-resume on the device-accumulator path: checkpoints are
+    forced spills at merge boundaries; the resumed table must be exact."""
+    import pytest
+
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.ingest import batch as batching
+
+    fa, reads = _mk_dataset(tmp_path, n=36, seed=9)
+    k, m, B = 25, 8, 32
+
+    def batches():
+        return batching.batch_file(fa, 0, k, 4, 256)
+
+    ref = pipeline.count_batches(batches(), k, m, B, device_accumulate=False)
+
+    def dying(n_ok):
+        for i, b in enumerate(batches()):
+            if i == n_ok:
+                raise KeyboardInterrupt
+            yield b
+
+    ck = str(tmp_path / "ckpt_acc")
+    ckpt = mf.BatchCheckpointer(ck, interval=2)
+    with pytest.raises(KeyboardInterrupt):
+        pipeline.count_batches(
+            dying(5), k, m, B, device_accumulate=True, checkpointer=ckpt
+        )
+    assert ckpt.completed_batches() == 4  # last interval boundary
+    assert ckpt._cursor()["spills"] >= 1
+
+    res = pipeline.count_batches(
+        batches(), k, m, B, device_accumulate=True,
+        checkpointer=mf.BatchCheckpointer(ck, interval=2),
+    )
+    np.testing.assert_array_equal(res.words, ref.words)
+    np.testing.assert_array_equal(res.counts, ref.counts)
+    np.testing.assert_array_equal(res.bins, ref.bins)
+    assert res.n_instances == ref.n_instances
+
+
+def test_checkpoint_resume_distributed(tmp_path, monkeypatch):
+    """Kill-and-resume on the mesh streaming path: spills persisted per
+    interval; the resumed run must produce the identical table."""
+    import jax
+    import pytest
+
+    from fastkmer_tpu.ingest import batch as batching
+    from fastkmer_tpu.parallel import driver, exchange
+
+    fa, reads = _mk_dataset(tmp_path, n=40, seed=10)
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/d_", k=25, m=8, max_b=32,
+        reads_per_batch=8, read_len=256, write=False,
+    )
+    mesh = jax.make_mesh((4,), (exchange.AXIS,), devices=jax.devices("cpu")[:4])
+
+    ref = driver.execute_job_distributed(cfg, mesh, verbose=False)
+
+    real_batch_file = batching.batch_file
+
+    def dying_batch_file(*a, **kw):
+        for i, b in enumerate(real_batch_file(*a, **kw)):
+            if i == 3:
+                raise KeyboardInterrupt
+            yield b
+
+    ck = str(tmp_path / "ckpt_mesh")
+    monkeypatch.setattr(batching, "batch_file", dying_batch_file)
+    with pytest.raises(KeyboardInterrupt):
+        driver.execute_job_distributed(
+            cfg, mesh, verbose=False, checkpoint_dir=ck, checkpoint_interval=2
+        )
+    monkeypatch.setattr(batching, "batch_file", real_batch_file)
+    ckpt = mf.BatchCheckpointer(ck)
+    assert ckpt.completed_batches() == 2
+
+    res = driver.execute_job_distributed(
+        cfg, mesh, verbose=False, checkpoint_dir=ck, checkpoint_interval=2
+    )
+    np.testing.assert_array_equal(res.words, ref.words)
+    np.testing.assert_array_equal(res.counts, ref.counts)
+    np.testing.assert_array_equal(res.bins, ref.bins)
+    assert ckpt.completed_batches() == 0  # cleared after completion
+
+
 def test_repair_output(tmp_path):
     """Delete a bin file; repair_output must restore it exactly."""
     import os
@@ -89,3 +175,39 @@ def test_repair_output(tmp_path):
     status = pipeline.repair_output(cfg, verbose=False)
     assert status["ok"], status
     assert writer.read_output_dir(cfg.output_dir) == before
+
+
+def test_repair_from_sidecar_no_recount(tmp_path, monkeypatch):
+    """With keep_table=True the repair path must touch ZERO batches: it
+    rewrites bad bins from the checksum-validated table.npz sidecar."""
+    import os
+
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.output import manifest as mf2, writer
+
+    fa, reads = _mk_dataset(tmp_path, n=20, seed=6)
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=20, m=8, max_b=32,
+        reads_per_batch=8, read_len=256,
+    )
+    pipeline.execute_job(cfg, verbose=False, keep_table=True)
+    before = writer.read_output_dir(cfg.output_dir)
+    victim = sorted(before)[0]
+    os.remove(os.path.join(cfg.output_dir, f"bin{victim}"))
+
+    def no_recount(*a, **kw):
+        raise AssertionError("repair recounted the dataset despite sidecar")
+
+    monkeypatch.setattr(pipeline, "count_batches", no_recount)
+    status = pipeline.repair_output(cfg, verbose=False)
+    assert status["ok"], status
+    assert writer.read_output_dir(cfg.output_dir) == before
+
+    # a CORRUPTED sidecar must be rejected (checksum) -> falls back to
+    # recounting, never repairs with wrong counts
+    sidecar = os.path.join(cfg.output_dir, mf2.TABLE_SIDECAR)
+    with np.load(sidecar) as z:
+        words, counts, bins = z["words"], z["counts"], z["bins"]
+    with open(sidecar, "wb") as f:
+        np.savez(f, words=words, counts=counts + 1, bins=bins)
+    assert mf2.load_table_sidecar(cfg.output_dir) is None

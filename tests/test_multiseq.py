@@ -230,6 +230,20 @@ def test_multiseq_distributed_matches_single(tmp_path):
     np.testing.assert_array_equal(single.counts, dist.counts)
     np.testing.assert_array_equal(single.bins, dist.bins)
     assert single.distances == dist.distances
+
+    # LPT ownership (useCustomPartitioner=1, numPartitionTasks=4) must not
+    # change any result — only where bins live during the run
+    # (reference: SparkMultiSequenceKmerCounter.scala:580-583)
+    cfg3 = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/c_", k=18, m=6, max_b=32,
+        reads_per_batch=8, read_len=128,
+        use_custom_partitioner=True, num_partition_tasks=4,
+    )
+    lpt = execute_multiseq_job_distributed(cfg3, mesh, verbose=False)
+    np.testing.assert_array_equal(single.words, lpt.words)
+    np.testing.assert_array_equal(single.seqs, lpt.seqs)
+    np.testing.assert_array_equal(single.counts, lpt.counts)
+    assert single.distances == lpt.distances
     assert single.sequence_names == dist.sequence_names
 
 

@@ -75,11 +75,23 @@ def execute_job_distributed(
         print(f"mesh: {n} devices, transport={'super-k-mer' if smer_transport else 'k-mer'}")
 
     R, L = cfg.reads_per_batch, cfg.read_len
-    if R % n:
-        R = -(-R // n) * n  # round rows up to a multiple of the mesh size
+    import jax
+
+    p = jax.process_count()
+    if R % (n * p):
+        R = -(-R // (n * p)) * (n * p)  # rows divide chips AND host stripes
 
     def batches():
-        return batching.batch_file(cfg.dataset, cfg.sequence_type, cfg.k, R, L)
+        # multi-host: each process reads a round-robin stripe of the file
+        # (HDFS-split-locality analogue) of R/p rows per GLOBAL step, padded
+        # to lockstep; shard_batch assembles the global batch from the
+        # per-process stripes with no cross-host movement.
+        it = batching.batch_file(cfg.dataset, cfg.sequence_type, cfg.k, R // p, L)
+        if p > 1:
+            from . import multihost
+
+            return multihost.stripe_batches_padded(it, R // p, L)
+        return it
 
     # --- optional LPT pre-pass on a sample of batches ---
     hist = np.zeros(cfg.b, dtype=np.int64)

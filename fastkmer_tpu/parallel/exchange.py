@@ -310,21 +310,50 @@ def estimate_bin_sizes(mesh: Mesh, k: int, m: int, B: int,
 
 
 def shard_batch(mesh: Mesh, codes: np.ndarray):
-    """Place a [R, L] host batch row-sharded over the mesh.
+    """Place a host batch row-sharded over the mesh.
+
+    Single-process: ``codes`` is the full [R, L] batch.  Multi-host
+    (jax.process_count() > 1): ``codes`` is THIS PROCESS's row stripe of
+    the global batch ([R/p, L]; see multihost.stripe_batches_padded) and
+    the global array is assembled from per-process shards without any
+    cross-host data movement — the ingest-sharding analogue of HDFS split
+    locality.
 
     On the CPU backend device_put aliases the numpy buffer zero-copy, so
     the caller must not mutate ``codes`` after this call."""
-    return jax.device_put(codes, NamedSharding(mesh, P(AXIS, None)))
+    sharding = NamedSharding(mesh, P(AXIS, None))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, codes)
+    return jax.device_put(codes, sharding)
+
+
+def shard_vector(mesh: Mesh, vec: np.ndarray):
+    """Place a per-row host vector (e.g. multiseq seq ids) sharded over the
+    mesh axis; multi-host processes pass their local stripe."""
+    sharding = NamedSharding(mesh, P(AXIS))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, vec)
+    return jax.device_put(vec, sharding)
 
 
 def compact_shard_counts(sc: ShardCounts):
-    """Host: ShardCounts -> list per chip of (words, counts, bins) uniques."""
-    words = np.asarray(sc.words)
-    bins = np.asarray(sc.bins)
-    is_uniq = np.asarray(sc.is_uniq)
-    counts = np.asarray(sc.counts)
+    """Host: ShardCounts -> list per ADDRESSABLE chip of (words, counts,
+    bins) uniques.  Addressable shards, not a global fetch: on a multi-host
+    mesh each process compacts only its own chips' tables (bins partition
+    k-mers across chips, so per-process outputs are disjoint and union to
+    the full result — the Spark-executor-writes-its-partitions analogue)."""
+
+    def shards(arr):
+        return {
+            s.index[0].start or 0: np.asarray(s.data)
+            for s in arr.addressable_shards
+        }
+
+    w, b, u, c = map(shards, (sc.words, sc.bins, sc.is_uniq, sc.counts))
     out = []
-    for c in range(words.shape[0]):
-        idx = np.flatnonzero(is_uniq[c])
-        out.append((words[c][idx], counts[c][idx].astype(np.int64), bins[c][idx]))
+    for chip in sorted(w):
+        idx = np.flatnonzero(u[chip][0])
+        out.append(
+            (w[chip][0][idx], c[chip][0][idx].astype(np.int64), b[chip][0][idx])
+        )
     return out

@@ -69,3 +69,33 @@ def stripe_batches(batches, n_hosts: int | None = None, host_id: int | None = No
     for j, b in enumerate(batches):
         if j % p == i:
             yield b
+
+
+def stripe_batches_padded(batches, rows: int, length: int,
+                          n_hosts: int | None = None,
+                          host_id: int | None = None):
+    """stripe_batches + tail padding so every host feeds the SAME number
+    of global steps — the distributed step is a collective, so hosts must
+    stay in lockstep.  Hosts whose stripe ran out one batch early feed an
+    all-invalid (empty) batch; total steps = ceil(total_batches / p).
+
+    Yields (codes [rows, length], n_reads, n_bases) like the batchers.
+    """
+    import numpy as np
+
+    from ..core import bits
+
+    p = n_hosts if n_hosts is not None else jax.process_count()
+    i = host_id if host_id is not None else jax.process_index()
+    total = 0
+    mine = 0
+    for j, b in enumerate(batches):
+        total += 1
+        if j % p == i:
+            mine += 1
+            yield b
+    steps = -(-total // p)
+    for _ in range(steps - mine):
+        yield (
+            np.full((rows, length), bits.INVALID_CODE, dtype=np.uint8), 0, 0,
+        )

@@ -59,7 +59,7 @@ _INIT_CACHE: dict = {}  # (mesh, n, acc_cap, W) -> jitted on-device init
 class AccState(NamedTuple):
     words: jnp.ndarray  # [n, acc_cap, W] sentinel-padded unique k-mers, sorted
     wts: jnp.ndarray  # [n, acc_cap] int32 counts
-    n_unique: jnp.ndarray  # [n] int32
+    n_unique: jnp.ndarray  # [n] int32, REPLICATED (all_gathered at merge)
     dropped: jnp.ndarray  # [] int32 cumulative exchange overflow
     overflow: jnp.ndarray  # [] int32 cumulative accumulator overflow
 
@@ -130,11 +130,11 @@ class DistributedCounter:
                 lambda: AccState(
                     words=jnp.full((n, acc_cap, W), 0xFFFFFFFF, jnp.uint32),
                     wts=jnp.zeros((n, acc_cap), jnp.int32),
-                    n_unique=jnp.zeros(n, jnp.int32),
+                    n_unique=jnp.zeros(n, jnp.int32),  # replicated (see merge)
                     dropped=jnp.int32(0),
                     overflow=jnp.int32(0),
                 ),
-                out_shardings=AccState(dev, dev, dev, rep, rep),
+                out_shardings=AccState(dev, dev, rep, rep, rep),
             )
             _INIT_CACHE[key] = fn
         return fn()
@@ -190,7 +190,7 @@ class DistributedCounter:
         n_rows = nparts * n * self.cap + acc_cap
         cap_in = -(-n_rows // (1 << 16)) * (1 << 16)  # 64Ki granules, bounded compiles
         specs_part = tuple(tuple(P(AXIS) for _ in range(W)) for _ in range(nparts))
-        acc_spec = AccState(P(AXIS), P(AXIS), P(AXIS), P(), P())
+        acc_spec = AccState(P(AXIS), P(AXIS), P(), P(), P())
 
         @partial(
             jax.shard_map,
@@ -227,7 +227,20 @@ class DistributedCounter:
             return AccState(
                 words=new_words[None],
                 wts=new_wts[None],
-                n_unique=jnp.minimum(n_u, acc_cap)[None],
+                # replicated: every process can fetch it and reach the
+                # same spill decision (an axis-sharded vector would span
+                # non-addressable devices on a multi-host mesh).  One-hot
+                # psum, not all_gather: psum output is statically known
+                # to be replicated (out_specs P() demands that proof)
+                n_unique=jax.lax.psum(
+                    jnp.where(
+                        jnp.arange(n, dtype=jnp.int32)
+                        == jax.lax.axis_index(AXIS),
+                        jnp.minimum(n_u, acc_cap),
+                        0,
+                    ),
+                    AXIS,
+                ),
                 # ndrops are replicated psums already — no psum here
                 dropped=acc.dropped + sum(ndrops),
                 overflow=acc.overflow + jax.lax.psum(over, AXIS),
@@ -293,6 +306,8 @@ class DistributedCounter:
         aliased zero-copy by jax (CPU backend) and the dispatch is async:
         the caller MUST NOT mutate them afterwards — pass fresh arrays."""
         R, L = codes.shape
+        # multi-host: codes is this process's stripe; bounds are global
+        R = R * jax.process_count()
         # per-chip new-unique bound: a chip cannot receive more rows than
         # its n*cap exchange lanes hold, nor more than the batch contains
         positions = min(R * max(L - self.k + 1, 0), self.n * self.cap)
@@ -300,9 +315,8 @@ class DistributedCounter:
         sharded = exchange.shard_batch(self.mesh, codes)
         sids = None
         if self.with_seq:
-            sids = jax.device_put(
-                np.asarray(seq_ids, dtype=np.int32),
-                NamedSharding(self.mesh, P(AXIS)),
+            sids = exchange.shard_vector(
+                self.mesh, np.asarray(seq_ids, dtype=np.int32)
             )
         self._dispatch(sharded, sids)
         # retry needs the (immutable) device inputs and per-src extraction

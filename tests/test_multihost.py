@@ -1,0 +1,101 @@
+"""2-process jax.distributed smoke: the streaming counter over a 2-host x
+4-virtual-CPU-device mesh must produce (as the union of the per-process
+disjoint tables) exactly the single-process oracle counts.
+
+Each subprocess feeds its row stripe of every global batch
+(multihost ingest striping + exchange.shard_batch's
+make_array_from_process_local_data path) and writes its local table; the
+parent merges and diffs against the brute-force oracle.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from . import oracles  # noqa: F401
+
+_WORKER = r"""
+import sys
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(
+    coordinator_address="localhost:" + port, num_processes=2, process_id=pid
+)
+sys.path.insert(0, sys.argv[4])
+import numpy as np
+from fastkmer_tpu.parallel import exchange, multihost, partitioner, stream
+
+mesh = multihost.init_global_mesh()
+n = mesh.shape[exchange.AXIS]
+assert n == 8, n
+k, m, B = 25, 8, 64
+rng = np.random.default_rng(7)
+reads = rng.integers(0, 4, size=(32, 96)).astype(np.uint8)
+np.save(outdir + "/reads.npy", reads)
+owner = partitioner.hash_owner_map(B, n)
+ctr = stream.DistributedCounter(
+    mesh, k, m, B, cap=2048, acc_cap=1 << 14, owner_map=owner, fanin=2
+)
+# 4 global batches of 8 rows; each process feeds its 4-row stripe
+for g in range(4):
+    batch = reads[g * 8 : (g + 1) * 8]
+    ctr.feed(batch[pid * 4 : (pid + 1) * 4], n_reads=8)
+words, counts, bins = ctr.finalize()
+np.savez(f"{outdir}/table{pid}.npz", words=words, counts=counts, bins=bins)
+print("WORKER_OK", pid, flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_streaming_matches_oracle(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    port = str(_free_port())
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "FASTKMER_NO_PALLAS": "1",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), port, str(tmp_path), repo],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            if "gloo" in out.lower() and "collectives" in out.lower():
+                pytest.skip(f"CPU gloo collectives unavailable: {out[-400:]}")
+            raise AssertionError(f"worker {i} failed:\n{out[-2500:]}")
+        assert f"WORKER_OK {i}" in out
+
+    reads = np.load(tmp_path / "reads.npy")
+    k = 25
+    alpha = np.array(list("ACGT"))
+    strs = ["".join(alpha[r]) for r in reads]
+    expect = dict(oracles.count_reads(strs, k))
+
+    got = {}
+    from fastkmer_tpu.core import bits
+
+    for i in range(2):
+        z = np.load(tmp_path / f"table{i}.npz")
+        for row, c in zip(z["words"], z["counts"]):
+            s = bits.words_to_str(row, k)
+            assert s not in got  # bins partition k-mers: tables are disjoint
+            got[s] = int(c)
+    assert got == expect

@@ -68,6 +68,9 @@ def run_stream(staged, mode: str) -> tuple[float, dict]:
     log(f"pallas extract: {use_pallas}")
 
     def feed(acc):
+        import jax.numpy as jnp
+
+        pre_over = jnp.zeros((), jnp.int32)
         for codes in staged:
             if mode == "percount":
                 if use_pallas:
@@ -75,10 +78,20 @@ def run_stream(staged, mode: str) -> tuple[float, dict]:
                 else:
                     sc = pipeline._batch_count(codes, K, M, B)
                 acc.add(sc)
+            elif mode == "dedup":
+                npos = R * (L - K + 1)
+                dcap = (npos + (-npos % (1 << 16))) // 4
+                dcols, dwts, pre_over = pipeline._batch_count_dedup(
+                    codes, pre_over, K, M, B, dcap, use_pallas
+                )
+                acc.add_part(dcols, dwts)
             else:
                 acc.add_raw(pipeline._batch_extract_keys(codes, K, M, B, use_pallas))
         acc._merge_pending()
-        return acc._stats()  # scalar pull: fences every dispatch above
+        stats = acc._stats()  # scalar pull: fences every dispatch above
+        if mode == "dedup":
+            assert int(np.asarray(pre_over)) == 0
+        return stats
 
     def fresh():
         return pipeline.DeviceAccumulator(K, fanin=FANIN, m=M, B=B, unique_ub=GENOME)
@@ -123,7 +136,12 @@ def run_step(staged) -> float:
 
 
 def main() -> None:
+    global GENOME
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
+    if len(sys.argv) > 2 and sys.argv[2] == "dup":
+        # duplication-heavy workload: 2 Mbp genome -> ~8x IN-BATCH coverage
+        # (the regime where per-batch pre-dedup pays; VERDICT #9)
+        GENOME = 1 << 21
     import jax
 
     from fastkmer_tpu import pipeline  # noqa: F401  (enables the XLA cache)
@@ -146,6 +164,8 @@ def main() -> None:
             if mode == "stream"
             else f"stream_{mode}_throughput_k28_m10"
         )
+        if GENOME != 1 << 24:
+            metric += "_dup"
     print(
         json.dumps(
             {

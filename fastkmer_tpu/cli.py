@@ -54,6 +54,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "--num-executors analogue); 1 = single chip")
     p.add_argument("--smer-transport", action="store_true",
                    help="ship super-k-mer records through the all-to-all instead of k-mers")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="enable kill-and-resume: persist partial tables here "
+                        "(spill-based on the device-accumulator paths)")
+    p.add_argument("--checkpoint-interval", type=int, default=32,
+                   help="batches between checkpoints (accumulator paths)")
+    p.add_argument("--keep-table", action="store_true",
+                   help="write a binary table.npz sidecar enabling zero-recount repair")
+    p.add_argument("--unique-ub", type=int, default=None,
+                   help="asserted bound on distinct k-mers (e.g. genome length): "
+                        "sync-free accumulator feed, verified at finalize")
+    p.add_argument("--prededup", choices=("auto", "on", "off"), default="auto",
+                   help="per-batch count+compact before accumulation "
+                        "(pays on duplication-heavy inputs; auto probes)")
     return p
 
 
@@ -117,15 +130,25 @@ def main(argv=None) -> int:
         from .config import JobConfig
 
         cfg = JobConfig(**common, use_ht=bool(args.useHT))
+        prededup = {"auto": None, "on": True, "off": False}[args.prededup]
         if mesh is not None:
             from .parallel.driver import execute_job_distributed
 
-            res = execute_job_distributed(cfg, mesh, smer_transport=args.smer_transport)
+            res = execute_job_distributed(
+                cfg, mesh, smer_transport=args.smer_transport,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_interval=args.checkpoint_interval,
+            )
             extra = {"exchange_bytes": res.exchange_bytes, "balance": res.balance}
         else:
             from .pipeline import execute_job
 
-            res = execute_job(cfg)
+            res = execute_job(
+                cfg, checkpoint_dir=args.checkpoint_dir,
+                checkpoint_interval=args.checkpoint_interval,
+                keep_table=args.keep_table, unique_ub=args.unique_ub,
+                prededup=prededup,
+            )
             extra = {}
         summary = {
             "mode": "count",

@@ -32,7 +32,10 @@ _U = jnp.uint32
 
 
 def supported(k: int) -> bool:
-    return k <= 64
+    # W <= 8 (k <= 128): word construction is W-generic (rolls of the
+    # 16-base pack chain); the bound is VMEM block budget, managed by
+    # shrinking block_rows with W (_rows_for)
+    return k <= 128
 
 
 def available(k: int) -> bool:
@@ -46,6 +49,12 @@ def available(k: int) -> bool:
         and jax.default_backend() not in ("cpu",)
         and supported(k)
     )
+
+
+def _rows_for(k: int, block_rows: int) -> int:
+    """Shrink the row block as W grows: VMEM holds ~(input + chains + W
+    outputs) [TR, L] i32 buffers, so halve TR past W=4."""
+    return max(8, block_rows // 2) if num_words(k) > 4 else block_rows
 
 
 _I = jnp.int32
@@ -95,7 +104,7 @@ def _mk_kernel(k: int, m: int, B: int, L: int, mode: str = "full"):
     emit only the W word columns with invalid positions rewritten to the
     all-ones sentinel (requires k % 16 != 0) — the exact input the
     sentinel-safe sort wants, saving three [R, L] output streams and the
-    sort-side rewrite passes.  Supports k <= 64 (W <= 4)."""
+    sort-side rewrite passes.  Supports k <= 128 (W <= 8)."""
     W = num_words(k)
 
     def roll_back(x, s):
@@ -209,7 +218,7 @@ def extract_pallas(
     assert supported(k)
     R, L = codes.shape
     assert L >= k
-    TR = min(block_rows, R)
+    TR = min(_rows_for(k, block_rows), R)
     grid = (pl.cdiv(R, TR),)
     kernel = _mk_kernel(k, m, B, L)
 
@@ -251,7 +260,7 @@ def extract_pallas_sentinel(
     ready to be sort keys (invalid windows = all-ones).  k % 16 != 0."""
     assert supported(k) and k % 16 != 0
     R, L = codes.shape
-    TR = min(block_rows, R)
+    TR = min(_rows_for(k, block_rows), R)
     kernel = _mk_kernel(k, m, B, L, mode="count")
     W = num_words(k)
     bspec = pl.BlockSpec((TR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)

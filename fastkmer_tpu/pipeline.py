@@ -139,6 +139,38 @@ def _pack_stats(n_unique, overflow):
     return jnp.stack([n_unique.astype(jnp.int32), overflow.astype(jnp.int32)])
 
 
+@jax.jit
+def _batch_nuniq(sc: count_sort.SortedCounts) -> jnp.ndarray:
+    return jnp.sum(sc.is_uniq.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("k", "m", "B", "cap", "use_pallas"))
+def _batch_count_dedup(
+    codes: jnp.ndarray, over_in: jnp.ndarray, k: int, m: int, B: int,
+    cap: int, use_pallas: bool,
+):
+    """Pre-dedup device step for DUP-HEAVY inputs: per-batch count, then
+    compact the unique rows to ``cap`` (count_sort.compact_marked) so the
+    accumulator merges cap rows instead of all positions — the reference's
+    (k,x)-mer run compression re-landed where it pays on TPU
+    (SparkBinKmerCounter.scala:467-525).  Worth it only when the in-batch
+    distinct ratio is well under cap/positions (count_batches probes and
+    switches adaptively); compaction overflow is ACCUMULATED on device and
+    checked once at finalize — never silent, never a per-batch sync."""
+    cols = _batch_extract_keys(codes, k, m, B, use_pallas)
+    N = cols[0].shape[0]
+    pad = -N % (1 << 16)  # compact block granularity
+    if pad:
+        ones = jnp.uint32(0xFFFFFFFF)
+        cols = tuple(jnp.concatenate([c, jnp.full(pad, ones, jnp.uint32)]) for c in cols)
+    sc = count_sort.count_presentineled(list(cols))
+    ccols, wts, _n_u, over = count_sort.compact_marked(
+        tuple(sc.words[:, w] for w in range(sc.words.shape[1])),
+        sc.counts, sc.is_uniq, cap,
+    )
+    return ccols, wts, over_in + over
+
+
 @partial(jax.jit, static_argnames=("acc_cap", "lanes"))
 def _init_acc_state(acc_cap: int, lanes: int):
     cols = tuple(
@@ -296,6 +328,11 @@ class DeviceAccumulator:
         """Buffer one pre-counted batch (unique rows weighted by count)."""
         cols, wts = _to_merge_rows(sc)
         self._append((cols, wts), int(wts.shape[0]))
+
+    def add_part(self, cols: tuple, wts: jnp.ndarray) -> None:
+        """Buffer one pre-counted COMPACTED part (e.g. _batch_count_dedup
+        output): unique rows at the front, sentinel/0 tail."""
+        self._append((tuple(cols), wts), int(wts.shape[0]))
 
     def _append(self, part, n_new_ub: int) -> None:
         if self.acc_cap is None:
@@ -466,7 +503,17 @@ def count_batches(
     checkpointer=None,
     device_accumulate: bool | None = None,
     unique_ub: int | None = None,
+    prededup: bool | None = None,
 ) -> CountResult:
+    """Stream code batches through the device and return the merged table.
+
+    ``prededup`` — per-batch count+compact before accumulation (pays on
+    DUP-HEAVY inputs where the in-batch distinct ratio is low; the
+    reference's (k,x) compression idea).  None (default) = adaptive: every
+    16th batch is a probe whose distinct count is prefetched without
+    blocking, and the mode follows the measured in-batch ratio (engage
+    under 0.20 = the compaction cap's headroom).  True/False force it.
+    """
     timer = timer or StageTimer()
     parts = []
     n_reads = 0
@@ -487,6 +534,10 @@ def count_batches(
         if device_accumulate
         else None
     )
+    PROBE_EVERY, ENGAGE_BELOW = 16, 0.20
+    dedup_mode = prededup is True
+    probe_pending: list = []  # (positions, prefetched n_unique scalar)
+    pre_over = None  # device-accumulated compaction overflow (dedup mode)
     skip = 0
     persisted_spills = 0
     if checkpointer is not None:
@@ -507,9 +558,38 @@ def count_batches(
             n_reads += nr
             n_bases += nb
             continue
+        probe = (
+            acc is not None
+            and prededup is None
+            and batch_idx % PROBE_EVERY == 0
+        )
         with timer.span("device_count"):
             if engine == "hash":
                 sc, coll_flag = _batch_count_ht(jnp.asarray(codes), coll_flag, k, m, B)
+            elif acc is not None and probe:
+                # probe batch: full per-batch count; its distinct count is
+                # prefetched (no sync) and steers the dedup_mode switch
+                if use_pallas:
+                    sc = _batch_count_pallas(jnp.asarray(codes), k, m, B, with_bins=False)
+                else:
+                    sc = _batch_count(jnp.asarray(codes), k, m, B)
+                R_, L_ = codes.shape
+                nu = _batch_nuniq(sc)
+                try:
+                    nu.copy_to_host_async()
+                except AttributeError:
+                    pass
+                probe_pending.append((R_ * max(L_ - k + 1, 1), nu))
+            elif acc is not None and dedup_mode:
+                sc = None
+                R_, L_ = codes.shape
+                npos = R_ * (L_ - k + 1)
+                dcap = (npos + (-npos % (1 << 16))) // 4
+                if pre_over is None:
+                    pre_over = jnp.zeros((), jnp.int32)
+                dcols, dwts, pre_over = _batch_count_dedup(
+                    jnp.asarray(codes), pre_over, k, m, B, dcap, use_pallas
+                )
             elif acc is not None:
                 # deferred path: stage-1 extract only; the accumulator's
                 # fan-in merge does all the sorting
@@ -521,7 +601,24 @@ def count_batches(
                 sc = _batch_count(jnp.asarray(codes), k, m, B)
         if acc is not None:
             with timer.span("device_merge"):
-                acc.add_raw(cols)
+                if probe:
+                    acc.add(sc)
+                elif dedup_mode:
+                    acc.add_part(dcols, dwts)
+                else:
+                    acc.add_raw(cols)
+            # non-blocking mode update from landed probe stats
+            while probe_pending:
+                try:
+                    ready = probe_pending[0][1].is_ready()
+                except AttributeError:
+                    ready = True
+                if not ready:
+                    break
+                pos, arr = probe_pending.pop(0)
+                ratio = int(np.asarray(arr)) / max(pos, 1)
+                if prededup is None:
+                    dedup_mode = ratio < ENGAGE_BELOW
             if (
                 checkpointer is not None
                 and (batch_idx + 1) % checkpointer.interval == 0
@@ -551,6 +648,12 @@ def count_batches(
         raise FingerprintCollision(
             "64-bit fingerprint collision; re-run with the sort engine"
         )
+    if pre_over is not None and int(np.asarray(pre_over)):
+        raise RuntimeError(
+            "pre-dedup compaction overflow (a batch's distinct count "
+            "exceeded the cap sized for heavy duplication); re-run with "
+            "prededup=False"
+        )
     with timer.span("merge"):
         if acc is not None:
             words, counts, bins = acc.finalize()
@@ -572,6 +675,8 @@ def execute_job(
     trace_dir: str | None = None,
     keep_table: bool = False,
     unique_ub: int | None = None,
+    prededup: bool | None = None,
+    checkpoint_interval: int = 32,
 ) -> CountResult:
     """Count k-mers in cfg.dataset and (optionally) write per-bin files.
 
@@ -595,7 +700,11 @@ def execute_job(
     timer = StageTimer(verbose=False)
     if verbose:
         print(cfg.describe())
-    ckpt = manifest_mod.BatchCheckpointer(checkpoint_dir) if checkpoint_dir else None
+    ckpt = (
+        manifest_mod.BatchCheckpointer(checkpoint_dir, checkpoint_interval)
+        if checkpoint_dir
+        else None
+    )
     from .ingest.prefetch import prefetched
 
     batches = prefetched(
@@ -607,7 +716,7 @@ def execute_job(
     with maybe_profile(trace_dir):
         res = count_batches(
             batches, cfg.k, cfg.m, cfg.b, timer, engine=engine, checkpointer=ckpt,
-            unique_ub=unique_ub,
+            unique_ub=unique_ub, prededup=prededup,
         )
     if cfg.write:
         with timer.span("write_output"):

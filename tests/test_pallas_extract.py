@@ -8,7 +8,7 @@ import pytest
 from .test_extract import random_reads, to_batch
 
 
-@pytest.mark.parametrize("k,m", [(28, 10), (13, 4), (31, 8), (17, 6), (33, 7), (55, 9), (64, 11)])
+@pytest.mark.parametrize("k,m", [(28, 10), (13, 4), (31, 8), (17, 6), (33, 7), (55, 9), (64, 11), (75, 12), (97, 13), (128, 14)])
 def test_pallas_extract_parity(k, m):
     import jax
     import jax.numpy as jnp
@@ -18,7 +18,8 @@ def test_pallas_extract_parity(k, m):
 
     B = 128
     rng = np.random.default_rng(k)
-    codes = to_batch(random_reads(rng, 12, 96), 96)
+    L = 96 if k <= 64 else 160  # rows must hold at least one window
+    codes = to_batch(random_reads(rng, 12, L), L)
     jc = jnp.asarray(codes)
     a = jax.jit(lambda c: jex.extract(c, k, m, B))(jc)
     b = pex.extract_pallas(jc, k, m, B, block_rows=4, interpret=True)
@@ -29,7 +30,7 @@ def test_pallas_extract_parity(k, m):
     np.testing.assert_array_equal(np.asarray(a.bins)[va], np.asarray(b.bins)[va])
 
 
-@pytest.mark.parametrize("k,m", [(28, 10), (13, 4), (45, 8)])
+@pytest.mark.parametrize("k,m", [(28, 10), (13, 4), (45, 8), (75, 12), (97, 13)])
 def test_pallas_sentinel_count_parity(k, m):
     """Count-mode kernel + count_presentineled == full jnp count path."""
     import jax
@@ -41,7 +42,8 @@ def test_pallas_sentinel_count_parity(k, m):
 
     B = 64
     rng = np.random.default_rng(k + 1)
-    codes = to_batch(random_reads(rng, 10, 80), 80)
+    L = 80 if k <= 64 else 160
+    codes = to_batch(random_reads(rng, 10, L), L)
     jc = jnp.asarray(codes)
 
     cols = pex.extract_pallas_sentinel(jc, k, m, B, block_rows=4, interpret=True)

@@ -204,6 +204,40 @@ def test_device_accumulator_unique_ub_sync_free(tmp_path, small_reads):
         acc.finalize()
 
 
+def test_prededup_modes_match(tmp_path):
+    """Per-batch pre-dedup (forced and adaptive) must be output-identical
+    to the raw deferred path on a duplication-heavy input."""
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.ingest import batch as batching
+
+    rng = np.random.default_rng(21)
+    genome = "".join(rng.choice(list("ACGT"), size=300))
+    # 60 reads sampled from a 300 bp genome -> very heavy duplication
+    reads = []
+    for _ in range(60):
+        s = int(rng.integers(0, 200))
+        reads.append(genome[s : s + int(rng.integers(60, 100))])
+    fa = str(tmp_path / "dup.fa")
+    write_fasta(fa, reads)
+    k, m, B = 25, 8, 64
+
+    def run(**kw):
+        return pipeline.count_batches(
+            batching.batch_file(fa, 0, k, 8, 256), k, m, B,
+            device_accumulate=True, **kw,
+        )
+
+    ref = pipeline.count_batches(
+        batching.batch_file(fa, 0, k, 8, 256), k, m, B, device_accumulate=False
+    )
+    for kw in ({"prededup": True}, {"prededup": False}, {}):
+        res = run(**kw)
+        np.testing.assert_array_equal(res.words, ref.words, err_msg=str(kw))
+        np.testing.assert_array_equal(res.counts, ref.counts, err_msg=str(kw))
+        np.testing.assert_array_equal(res.bins, ref.bins, err_msg=str(kw))
+        assert res.n_instances == ref.n_instances
+
+
 def test_device_accumulator_small_cap_spills(tmp_path, small_reads):
     """A cap far below the distinct count forces host spills mid-stream
     (and, on CPU, exercises the non-blocking _refresh_landed tightening);

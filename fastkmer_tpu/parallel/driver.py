@@ -138,11 +138,11 @@ def execute_job_distributed(
         # the HT engine counts per batch on the received rows (the device
         # form of extractKXmersHT's per-bin tables); the streaming deferred
         # accumulator is a sort-engine design
-        streaming = (
-            not smer_transport
-            and not cfg.use_ht
-            and count_sort.sentinel_safe_for(cfg.k)
-        )
+        streaming = not smer_transport and not cfg.use_ht
+    # k % 16 == 0: the bare sentinel is ambiguous, so a constant-zero seq
+    # lane restores sentinel safety (the multiseq lane with a degenerate
+    # id) — the streaming path then covers every k
+    flagged = streaming and not count_sort.sentinel_safe_for(cfg.k)
     if streaming:
         if acc_cap is None:
             # room for ~2 batches of all-distinct k-mers per chip before a
@@ -150,8 +150,9 @@ def execute_job_distributed(
             acc_cap = 1 << max(14, (2 * n * positions - 1).bit_length())
         ctr = stream.DistributedCounter(
             mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap,
-            owner_map=owner_map, fanin=fanin,
+            owner_map=owner_map, fanin=fanin, with_seq=flagged,
         )
+        zero_sids = np.zeros(R // p, np.int32) if flagged else None
         # checkpoint/resume at merge boundaries: a forced spill every
         # `checkpoint_interval` batches persists the per-chip tables
         # (manifest.BatchCheckpointer spill flow) — the mesh analogue of
@@ -173,7 +174,7 @@ def execute_job_distributed(
                 ctr.n_bases += nb
                 continue
             with timer.span("device_step"):
-                ctr.feed(codes, n_reads=nr, n_bases=nb)
+                ctr.feed(codes, n_reads=nr, n_bases=nb, seq_ids=zero_sids)
             if ckpt is not None and (i + 1) % ckpt.interval == 0:
                 with timer.span("checkpoint"):
                     ctr.spill()
@@ -181,6 +182,8 @@ def execute_job_distributed(
                     persisted = len(ctr.host_spills)
         with timer.span("merge"):
             words, counts, bins = ctr.finalize()
+            if flagged:
+                words = words[:, : num_words(cfg.k)]  # drop the zero lane
         if cfg.write:
             with timer.span("write_output"):
                 _write_output(cfg, words, counts, bins)

@@ -134,6 +134,20 @@ def _batch_extract_keys(codes: jnp.ndarray, k: int, m: int, B: int, use_pallas: 
     return tuple(jnp.where(ex.valid, ex.words[:, w], ones) for w in range(W))
 
 
+@partial(jax.jit, static_argnames=("k", "m", "B"))
+def _batch_extract_keys_flagged(codes: jnp.ndarray, k: int, m: int, B: int):
+    """k % 16 == 0 variant: the all-ones sentinel is ambiguous (an all-T
+    k-mer's words equal it), so a constant-ZERO trailing lane makes valid
+    rows sentinel-safe again — 0 on valid rows, all-ones on invalid (the
+    multiseq seq-lane trick with a degenerate id).  One extra lane in every
+    merge sort buys the deferred accumulator for every k."""
+    ex = extract.extract(codes, k, m, B)
+    ones = jnp.uint32(0xFFFFFFFF)
+    W = ex.words.shape[1]
+    cols = tuple(jnp.where(ex.valid, ex.words[:, w], ones) for w in range(W))
+    return cols + (jnp.where(ex.valid, jnp.uint32(0), ones),)
+
+
 @jax.jit
 def _pack_stats(n_unique, overflow):
     return jnp.stack([n_unique.astype(jnp.int32), overflow.astype(jnp.int32)])
@@ -521,20 +535,22 @@ def count_batches(
     W = num_words(k)
     use_pallas = engine == "sort" and pallas_count_available(k)
     if device_accumulate is None:
-        device_accumulate = (
-            engine == "sort"
-            and count_sort.sentinel_safe_for(k)
-            and jax.default_backend() != "cpu"
-        )
-    device_accumulate = (
-        device_accumulate and engine == "sort" and count_sort.sentinel_safe_for(k)
-    )
+        device_accumulate = engine == "sort" and jax.default_backend() != "cpu"
+    device_accumulate = device_accumulate and engine == "sort"
+    # k % 16 == 0: the bare sentinel is ambiguous; a constant-zero trailing
+    # lane restores it (_batch_extract_keys_flagged), so the deferred
+    # accumulator covers EVERY k
+    flagged = device_accumulate and not count_sort.sentinel_safe_for(k)
     acc = (
-        DeviceAccumulator(k, m=m, B=B, unique_ub=unique_ub)
+        DeviceAccumulator(
+            k, m=m, B=B, unique_ub=unique_ub, extra_lanes=1 if flagged else 0
+        )
         if device_accumulate
         else None
     )
     PROBE_EVERY, ENGAGE_BELOW = 16, 0.20
+    if flagged:
+        prededup = False  # probe/dedup paths are W-lane shaped
     dedup_mode = prededup is True
     probe_pending: list = []  # (positions, prefetched n_unique scalar)
     pre_over = None  # device-accumulated compaction overflow (dedup mode)
@@ -594,7 +610,10 @@ def count_batches(
                 # deferred path: stage-1 extract only; the accumulator's
                 # fan-in merge does all the sorting
                 sc = None
-                cols = _batch_extract_keys(jnp.asarray(codes), k, m, B, use_pallas)
+                if flagged:
+                    cols = _batch_extract_keys_flagged(jnp.asarray(codes), k, m, B)
+                else:
+                    cols = _batch_extract_keys(jnp.asarray(codes), k, m, B, use_pallas)
             elif use_pallas:
                 sc = _batch_count_pallas(jnp.asarray(codes), k, m, B)
             else:
@@ -657,6 +676,8 @@ def count_batches(
     with timer.span("merge"):
         if acc is not None:
             words, counts, bins = acc.finalize()
+            if flagged:
+                words = words[:, :W]  # drop the constant validity lane
         elif parts:
             words, counts, bins = merge_partials(parts, W)
         else:

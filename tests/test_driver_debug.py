@@ -163,6 +163,31 @@ def test_evaluate_partition_balance(tmp_path, dataset):
     assert stats["total"] > 0 and len(stats["loads"]) == 4
 
 
+def test_execute_job_distributed_k32_streaming(tmp_path, dataset):
+    """k % 16 == 0 on the STREAMING mesh path (constant-zero seq lane
+    restores sentinel safety): exact table incl. the all-T edge case."""
+    import jax
+
+    from fastkmer_tpu.parallel import driver, exchange
+
+    fa, reads = dataset
+    # append an all-T read to hit the sentinel-ambiguity edge
+    with open(fa, "a") as f:
+        f.write(">allT\n" + "T" * 64 + "\n")
+    reads = reads + ["T" * 64]
+    mesh = jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/o32_", k=32, m=9, max_b=64,
+        reads_per_batch=16, read_len=512, write=False,
+    )
+    res = driver.execute_job_distributed(cfg, mesh, verbose=False, streaming=True)
+    expect = oracles.count_reads(reads, 32)
+    kmers = bits.decode_words_batch(res.words, 32)
+    got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+    assert got == dict(expect)
+    assert "A" * 32 in got  # canonical of the all-T k-mer
+
+
 def test_execute_job_distributed_with_spills(tmp_path, dataset):
     """A tiny acc_cap forces host spills mid-run; the table must still be
     exact (the spill-merge path of the streaming driver)."""

@@ -204,6 +204,39 @@ def test_device_accumulator_unique_ub_sync_free(tmp_path, small_reads):
         acc.finalize()
 
 
+def test_device_accumulator_k_multiple_of_16(tmp_path):
+    """k % 16 == 0 through the deferred accumulator: the constant-zero
+    validity lane must keep all-T k-mers apart from the sentinel."""
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.ingest import batch as batching
+
+    rng = np.random.default_rng(13)
+    reads = ["T" * 50, "A" * 40, "T" * 33] + [
+        "".join(rng.choice(list("ACGTN"), p=[0.24] * 4 + [0.04], size=120))
+        for _ in range(30)
+    ]
+    fa = str(tmp_path / "t16.fa")
+    write_fasta(fa, reads)
+    for k, m in ((32, 9), (16, 6)):
+        ref = pipeline.count_batches(
+            batching.batch_file(fa, 0, k, 8, 256), k, m, 64,
+            device_accumulate=False,
+        )
+        res = pipeline.count_batches(
+            batching.batch_file(fa, 0, k, 8, 256), k, m, 64,
+            device_accumulate=True,
+        )
+        np.testing.assert_array_equal(res.words, ref.words, err_msg=f"k={k}")
+        np.testing.assert_array_equal(res.counts, ref.counts, err_msg=f"k={k}")
+        np.testing.assert_array_equal(res.bins, ref.bins, err_msg=f"k={k}")
+        assert res.n_instances == ref.n_instances
+        # the all-T / all-A canonical k-mer must have survived the sentinel
+        from fastkmer_tpu.core import bits
+
+        table = {bits.words_to_str(w, k) for w in res.words}
+        assert "A" * k in table
+
+
 def test_prededup_modes_match(tmp_path):
     """Per-batch pre-dedup (forced and adaptive) must be output-identical
     to the raw deferred path on a duplication-heavy input."""

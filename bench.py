@@ -71,8 +71,11 @@ def run_stream(staged, mode: str) -> tuple[float, dict]:
         import jax.numpy as jnp
 
         pre_over = jnp.zeros((), jnp.int32)
-        for codes in staged:
-            if mode == "percount":
+        for i, codes in enumerate(staged):
+            if mode == "percount" or (mode == "stream" and i % 16 == 0):
+                # "stream" probes every 16th batch exactly like
+                # count_batches's adaptive pre-dedup switch — the bench
+                # loop IS the production loop
                 if use_pallas:
                     sc = pipeline._batch_count_pallas(codes, K, M, B, with_bins=False)
                 else:

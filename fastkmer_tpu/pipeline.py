@@ -488,11 +488,20 @@ def _compact(sc: count_sort.SortedCounts) -> tuple[np.ndarray, np.ndarray, np.nd
 def merge_partials(
     parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]], W: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host merge of per-batch unique tables: lexsort + reduceat.
+    """Host merge of per-batch unique tables.
 
     Semantically the cross-partition half of the reference's
     ``reduceByKey(_ ++ _)`` + heap merge; here the per-batch tables are
-    already unique+sorted so merging is a weighted group-by."""
+    already unique+sorted, so the native k-way heap merge applies
+    (output.native fkmerge, O(N log P) one pass — the host-side
+    priorityQueueWithIndexes analogue); the numpy lexsort + reduceat path
+    below is the semantic reference and the fallback."""
+    if len(parts) > 1:
+        from .output import native as out_native
+
+        merged = out_native.merge_sorted_parts(parts, W)
+        if merged is not None:
+            return merged
     words = np.concatenate([p[0] for p in parts], axis=0)
     counts = np.concatenate([p[1] for p in parts], axis=0)
     bins = np.concatenate([p[2] for p in parts], axis=0)

@@ -213,7 +213,8 @@ def batch_file(
 
             with open(path, "rb") as f:
                 magic = f.read(2)
-            if native.available() and magic != b"\x1f\x8b":  # native: uncompressed only
+            gz = magic == b"\x1f\x8b"
+            if native.available() and (not gz or native.has_gunzip()):
                 fmt = fasta.sniff_format(path)
                 codes, starts = native.parse_file(path, fmt)
                 return _batches_from_parsed(

@@ -25,7 +25,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -64,6 +64,11 @@ def _load():
         ]
     except AttributeError:
         lib.fk_dump_lines = None
+    try:  # stale .so guard, as above
+        lib.fk_gunzip.restype = ctypes.c_int64
+        lib.fk_gunzip.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+    except AttributeError:
+        lib.fk_gunzip = None
     _lib = lib
     return _lib
 
@@ -87,6 +92,8 @@ def parse_file(path: str, fmt: str = "fasta"):
     if lib is None:
         raise RuntimeError("native ingest unavailable")
     raw = np.fromfile(path, dtype=np.uint8)
+    if raw.shape[0] >= 2 and raw[0] == 0x1F and raw[1] == 0x8B:
+        raw = gunzip(raw)  # native zlib inflate (multi-member gzip)
     n = raw.shape[0]
     codes = np.empty(n, dtype=np.uint8)
     # record-count bound: one record per '>' / '@' header line, +1 slack
@@ -133,3 +140,28 @@ def encode(data: bytes) -> np.ndarray:
     out = np.empty(raw.shape[0], dtype=np.uint8)
     lib.fk_encode(_as_u8p(raw), ctypes.c_int64(raw.shape[0]), _as_u8p(out))
     return out
+
+
+def gunzip(raw: np.ndarray) -> np.ndarray:
+    """Native gzip inflate; grows the output buffer on -1 and retries."""
+    lib = _load()
+    if lib is None or lib.fk_gunzip is None:
+        raise RuntimeError("native gunzip unavailable")
+    cap = max(4 * int(raw.shape[0]), 1 << 16)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        m = lib.fk_gunzip(
+            _as_u8p(raw), ctypes.c_int64(raw.shape[0]),
+            _as_u8p(out), ctypes.c_int64(cap),
+        )
+        if m == -1:
+            cap *= 2
+            continue
+        if m < 0:
+            raise RuntimeError(f"native gunzip failed with code {m}")
+        return out[:m]
+
+
+def has_gunzip() -> bool:
+    lib = _load()
+    return lib is not None and lib.fk_gunzip is not None

@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 
+#include <zlib.h>
+
 namespace {
 
 // ASCII -> 2-bit code; 4 = invalid (mirrors core/bits.py ASCII_TO_CODE,
@@ -40,6 +42,44 @@ extern "C" {
 int64_t fk_encode(const uint8_t* in, int64_t n, uint8_t* out) {
     for (int64_t i = 0; i < n; ++i) out[i] = LUT.v[in[i]];
     return n;
+}
+
+// gzip inflate (multi-member, >4GB-safe via chunked avail_in/out).
+// Returns decompressed size, -1 if out_cap is too small (caller grows and
+// retries), <-1 on malformed input.
+int64_t fk_gunzip(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof zs);
+    if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return -2;
+    const int64_t CH = 1 << 30;
+    int64_t ip = 0, op = 0;
+    while (true) {
+        if (zs.avail_in == 0) {
+            if (ip >= n) break;
+            int64_t c = n - ip > CH ? CH : n - ip;
+            zs.next_in = const_cast<Bytef*>(in + ip);
+            zs.avail_in = (uInt)c;
+            ip += c;
+        }
+        if (op >= cap) { inflateEnd(&zs); return -1; }
+        int64_t oc = cap - op > CH ? CH : cap - op;
+        zs.next_out = out + op;
+        zs.avail_out = (uInt)oc;
+        int ret = inflate(&zs, Z_NO_FLUSH);
+        op += oc - (int64_t)zs.avail_out;
+        if (ret == Z_STREAM_END) {
+            if (zs.avail_in == 0 && ip >= n) break;
+            if (inflateReset(&zs) != Z_OK) { inflateEnd(&zs); return -3; }
+        } else if (ret == Z_BUF_ERROR) {
+            if (op >= cap) { inflateEnd(&zs); return -1; }
+            if (zs.avail_in == 0 && ip >= n) { inflateEnd(&zs); return -4; }
+        } else if (ret != Z_OK) {
+            inflateEnd(&zs);
+            return -4;
+        }
+    }
+    inflateEnd(&zs);
+    return op;
 }
 
 // One-pass FASTA parse+encode.

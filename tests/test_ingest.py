@@ -29,6 +29,41 @@ def test_fastq(tmp_path):
     assert fasta.sniff_format(str(fq)) == "fastq"
 
 
+def test_native_gzip_batches_match_python(tmp_path):
+    """batch_file on a .gz via the native gunzip+parse path must produce
+    byte-identical batches to the pure-python gzip path."""
+    import pytest
+
+    from fastkmer_tpu.ingest import native
+    from fastkmer_tpu.ingest.batch import batch_file
+
+    if not (native.available() and native.has_gunzip()):
+        pytest.skip("native gunzip unavailable")
+    rng = np.random.default_rng(17)
+    reads = [
+        "".join(rng.choice(list("ACGTN"), p=[0.24] * 4 + [0.04],
+                           size=int(rng.integers(30, 200))))
+        for _ in range(40)
+    ]
+    plain = tmp_path / "g.fa"
+    with open(plain, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    gz = tmp_path / "g.fa.gz"
+    with gzip.open(gz, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+
+    a = list(batch_file(str(plain), 0, 21, 8, 256, use_native=True))
+    b = list(batch_file(str(gz), 0, 21, 8, 256, use_native=True))
+    c = list(batch_file(str(gz), 0, 21, 8, 256, use_native=False))
+    assert len(a) == len(b) == len(c)
+    for (x, nx, bx), (y, ny, by), (z, nz, bz) in zip(a, b, c):
+        np.testing.assert_array_equal(x, y)
+        np.testing.assert_array_equal(x, z)
+        assert nx == ny == nz and bx == by == bz
+
+
 def test_gzip_transparent(tmp_path):
     fa = tmp_path / "a.fa.gz"
     with gzip.open(fa, "wt") as f:

@@ -50,9 +50,14 @@ def main() -> None:
         mesh = jax.make_mesh((n,), (exchange.AXIS,), devices=devs)
         R = reads_per_chip * n
         codes = rng.integers(0, 4, size=(R, L)).astype(np.uint8)
-        # worst-case-safe: every k-mer of a chip could route to one owner
-        cap = (L - k + 1) * reads_per_chip
         owner = partitioner.hash_owner_map(B, n)
+        # histogram-sized capacity (what the drivers do) vs the worst case
+        # (every k-mer of a chip routed to one owner): the exchange-bytes
+        # ratio is the point of getSuperKmersWithBinSizes' upper bound
+        worst_cap = (L - k + 1) * reads_per_chip
+        est = exchange.estimate_bin_sizes(mesh, k, m, B)
+        hist = np.asarray(est(exchange.shard_batch(mesh, codes)), dtype=np.int64)
+        cap = partitioner.size_exchange_cap(hist, owner, n, worst_cap)
         step = exchange.build_distributed_count(mesh, k, m, B, cap, owner)
         sharded = exchange.shard_batch(mesh, codes)
         np.asarray(step(sharded).n_valid)  # compile+warm
@@ -70,6 +75,9 @@ def main() -> None:
                 "step_ms": round(dt * 1e3, 2),
                 "gbps": round(bases / dt / 1e9, 4),
                 "exchange_bytes": exchange.exchange_bytes_per_step(n, cap, k),
+                "exchange_bytes_worstcase": exchange.exchange_bytes_per_step(
+                    n, worst_cap, k
+                ),
                 "dropped": int(sc.dropped),
             }
         )

@@ -23,10 +23,18 @@ def count_kmers(
     sequence_type: int = 0,
     use_ht: bool = False,
     output_directory: str | None = None,
+    unique_ub: int | None = None,
+    prededup: bool | None = None,
+    checkpoint_dir: str | None = None,
     **kw,
 ) -> CountResult:
     """Count canonical k-mers in a FASTA/FASTQ file.  Writes per-bin files
-    only when output_directory is given."""
+    only when output_directory is given.
+
+    ``unique_ub``: asserted bound on distinct k-mers (e.g. genome length)
+    -> sync-free device accumulation, verified at finalize.
+    ``prededup``: per-batch pre-dedup for duplication-heavy inputs (None =
+    adaptive probing).  ``checkpoint_dir``: kill-and-resume."""
     cfg = JobConfig(
         dataset=dataset,
         output_directory=output_directory or "",
@@ -38,7 +46,10 @@ def count_kmers(
         write=output_directory is not None,
         **kw,
     )
-    return execute_job(cfg, verbose=False)
+    return execute_job(
+        cfg, verbose=False, unique_ub=unique_ub, prededup=prededup,
+        checkpoint_dir=checkpoint_dir,
+    )
 
 
 def spectrum(res: CountResult, max_count: int = 10000) -> np.ndarray:

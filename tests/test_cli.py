@@ -65,3 +65,40 @@ def test_cli_mesh_distributed(tmp_path):
     assert rc == 0
     s = json.load(open(stats))
     assert s["mesh"] == 8 and s["n_reads"] == 24 and "exchange_bytes" in s
+
+
+def test_cli_operational_flags(tmp_path):
+    """--prededup on + --keep-table + --checkpoint-dir drive a run whose
+    output supports zero-recount repair and whose checkpoint dir is
+    cleared on success."""
+    import os
+
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.config import JobConfig
+
+    rng = np.random.default_rng(2)
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    reads = [genome[int(rng.integers(0, 300)):][:100] for _ in range(20)]
+    fa = str(tmp_path / "dup.fa")
+    write_fasta(fa, reads)
+    ck = str(tmp_path / "ck")
+    rc = cli.main(
+        [
+            "25", "8", "3", "32", "0", "0", fa, str(tmp_path) + "/", "f_",
+            "1", "0", "0",
+            "--platform", "cpu", "--reads-per-batch", "4", "--read-len", "256",
+            "--prededup", "on", "--keep-table", "--checkpoint-dir", ck,
+            "--checkpoint-interval", "2",
+        ]
+    )
+    assert rc == 0
+    assert not os.listdir(ck)  # cleared after a successful run
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", prefix="f_",
+        k=25, m=8, max_b=32, reads_per_batch=4, read_len=256,
+    )
+    assert os.path.exists(os.path.join(cfg.output_dir, "table.npz"))
+    victim = [f for f in os.listdir(cfg.output_dir) if f.startswith("bin")][0]
+    os.remove(os.path.join(cfg.output_dir, victim))
+    status = pipeline.repair_output(cfg, verbose=False)
+    assert status["ok"], status

@@ -9,8 +9,9 @@ compare 64-bit fingerprints instead of full k-mer keys — in a sort-friendly
 form:
 
     sort by (validity, fp_hi, fp_lo)        # 3 keys regardless of W
-    run-length count over equal fingerprints
-    verify: every row's words == its run head's words (gather + compare)
+    run totals over equal fingerprints (scan-only, tail-marked)
+    verify: adjacent rows within a run have equal words (transitivity
+    makes this equivalent to comparing against the run head, gather-free)
 
 The verification makes exactness unconditional: a 64-bit fingerprint
 collision (prob ~ N^2 / 2^64) raises ``FingerprintCollision`` and the

@@ -12,8 +12,9 @@ wrong shape.  This module keeps all cross-batch state INSIDE the device:
   every ``fanin`` batches (or when the accumulator budget forces it)
               merge_step(parts..., acc) ->
                 ONE weighted sentinel-sort over (pending rows, accumulated
-                uniques) + run-length count + ONE compaction sort back
-                to the [acc_cap] accumulator
+                uniques) + scan-only run totals + block-compaction
+                (count_sort.compact_marked) back to the [acc_cap]
+                accumulator
 
 This is the device analogue of the reference's reduce-side state (Spark
 shuffle files + ``reduceByKey`` aggregation buffers,
@@ -31,10 +32,10 @@ Fixed capacities (TPU has no dynamic shapes): ``cap`` bounds per-(src,dst)
 exchange lanes, ``acc_cap`` bounds distinct k-mers held per chip; all
 overflow is DETECTED via psum'd counters, never silent.
 
-Compaction back to acc_cap is one more sort on the key words themselves
-(non-marker rows sentineled first) — never a scatter (TPU scatters
-serialize) and never a gather (a random gather costs ~9 ns/elem on TPU,
-~3x a whole sort pass per binary-search step; benchmarks/primitives.py).
+Compaction back to acc_cap is block-local sorts + scan placement
+(count_sort.compact_marked) — never a scatter (TPU scatters serialize)
+and never a gather (a random gather costs ~9 ns/elem on TPU, ~3x a whole
+sort pass per binary-search step; benchmarks/primitives.py).
 """
 
 from __future__ import annotations

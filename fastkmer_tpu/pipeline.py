@@ -200,8 +200,8 @@ def _acc_merge(parts, acc):
     parts: tuple of (cols tuple, wts | None) — None means raw k-mer
     instances (weight 1 where non-sentinel), arrays mean pre-counted
     uniques.  acc: (cols, wts, n_unique, overflow).  Inputs are padded to
-    a 64Ki granule so the compile set stays bounded; the merge is exactly
-    TWO sorts: one weighted count sort, one monotone-key compaction sort.
+    a 64Ki granule so the compile set stays bounded; the merge is ONE
+    weighted count sort + scan-only run totals + block compaction.
     """
     acc_cols, acc_wts, _acc_nu, acc_over = acc
     W = len(acc_cols)
@@ -270,8 +270,8 @@ class DeviceAccumulator:
     the end) drowns in D2H — through a remote-device tunnel it is ~100x the
     device time.  This accumulator buffers RAW pre-sentineled key columns
     per batch (``add_raw`` — no per-batch sort at all), merges every
-    ``fanin`` batches with ONE weighted count-sort + ONE compaction sort
-    into a FIXED-capacity unique table, and pulls one stacked
+    ``fanin`` batches with ONE weighted count-sort + block compaction
+    (count_sort.compact_marked) into a FIXED-capacity unique table, and pulls one stacked
     (words, count, bin) matrix at the end.  When the distinct count
     outgrows ``acc_cap`` it spills the table to the host at a merge
     boundary, so any dataset fits in a fixed device budget.

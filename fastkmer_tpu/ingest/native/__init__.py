@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -22,27 +21,17 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz"],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception:
-        return False
-
-
 def _load():
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            return None
+    # content-hash staleness (never mtimes): a binary is only trusted when
+    # its sidecar hash proves it was built from THIS source on this machine
+    from ...utils.nativebuild import ensure_built
+
+    if not ensure_built(_SRC, _SO, extra_flags=("-lz",)):
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

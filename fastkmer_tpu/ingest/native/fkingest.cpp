@@ -46,16 +46,22 @@ int64_t fk_encode(const uint8_t* in, int64_t n, uint8_t* out) {
 
 // gzip inflate (multi-member, >4GB-safe via chunked avail_in/out).
 // Returns decompressed size, -1 if out_cap is too small (caller grows and
-// retries), <-1 on malformed input.
+// retries), <-1 on malformed input, -5 on TRUNCATED input (input exhausted
+// mid-member without Z_STREAM_END — silently returning the partial bytes
+// would yield wrong counts downstream; Python's gzip raises EOFError here).
 int64_t fk_gunzip(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
     z_stream zs;
     std::memset(&zs, 0, sizeof zs);
     if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return -2;
     const int64_t CH = 1 << 30;
     int64_t ip = 0, op = 0;
+    bool mid_member = false;  // inflate progressed without a member end
     while (true) {
         if (zs.avail_in == 0) {
-            if (ip >= n) break;
+            if (ip >= n) {
+                if (mid_member) { inflateEnd(&zs); return -5; }
+                break;
+            }
             int64_t c = n - ip > CH ? CH : n - ip;
             zs.next_in = const_cast<Bytef*>(in + ip);
             zs.avail_in = (uInt)c;
@@ -68,6 +74,7 @@ int64_t fk_gunzip(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
         int ret = inflate(&zs, Z_NO_FLUSH);
         op += oc - (int64_t)zs.avail_out;
         if (ret == Z_STREAM_END) {
+            mid_member = false;
             if (zs.avail_in == 0 && ip >= n) break;
             if (inflateReset(&zs) != Z_OK) { inflateEnd(&zs); return -3; }
         } else if (ret == Z_BUF_ERROR) {
@@ -76,6 +83,8 @@ int64_t fk_gunzip(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
         } else if (ret != Z_OK) {
             inflateEnd(&zs);
             return -4;
+        } else {
+            mid_member = true;
         }
     }
     inflateEnd(&zs);

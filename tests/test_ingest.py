@@ -64,6 +64,25 @@ def test_native_gzip_batches_match_python(tmp_path):
         assert nx == ny == nz and bx == by == bz
 
 
+def test_native_gunzip_truncated_raises(tmp_path):
+    """A truncated .gz must raise, never silently return partial sequence
+    (silent truncation = wrong counts; python's gzip raises EOFError)."""
+    from fastkmer_tpu.ingest import native
+
+    if not (native.available() and native.has_gunzip()):
+        pytest.skip("native gunzip unavailable")
+    payload = (b">r1\n" + b"ACGT" * 4000 + b"\n") * 4
+    full = gzip.compress(payload)
+    # whole file round-trips
+    out = native.gunzip(np.frombuffer(full, dtype=np.uint8))
+    assert out.tobytes() == payload
+    # cut mid-member at several points: error code -5, not partial data
+    for cut in (len(full) - 1, len(full) // 2, 20):
+        trunc = np.frombuffer(full[:cut], dtype=np.uint8)
+        with pytest.raises(RuntimeError, match="-5"):
+            native.gunzip(trunc)
+
+
 def test_gzip_transparent(tmp_path):
     fa = tmp_path / "a.fa.gz"
     with gzip.open(fa, "wt") as f:

@@ -20,8 +20,15 @@ Then computes the sort-traffic floor of bench.py's streaming workload from
 these numbers and prints achieved-vs-floor efficiency hooks (the achieved
 number comes from bench.py).
 
-Usage: python benchmarks/roofline.py [quick]
+Usage: python benchmarks/roofline.py [quick|merge]
+  quick  = small sizes only;  merge = ONLY the merge-shape section
 Prints one JSON line per measurement to stdout; diagnostics to stderr.
+
+NOTE a 2-D [N, 2] uint32 jit OUTPUT at 151M rows is laid out T(8,128) —
+the minor dim pads 2 -> 128 (64x memory, 77 GB > HBM).  The production
+merge never materializes stacked words (lanes stay 1-D columns end to
+end), so the merge here is measured in the production form: one fused
+count_presentineled + compact_marked returning 1-D columns.
 """
 
 from __future__ import annotations
@@ -70,7 +77,9 @@ def slope(fn, args, iters=10, warmup=2):
 
 
 def main():
-    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
+    quick = stage == "quick"
+    merge_only = stage == "merge"
     import jax
     import jax.numpy as jnp
 
@@ -78,6 +87,9 @@ def main():
     from fastkmer_tpu.ops import count_sort
 
     rng = np.random.default_rng(0)
+    if merge_only:
+        _measure_merge(jax, jnp, count_sort, rng)
+        return
 
     # --- per-call overhead floor ---
     tiny = jnp.asarray(rng.integers(0, 2**32, size=1 << 10, dtype=np.uint32))
@@ -123,37 +135,51 @@ def main():
                  ns_per_elem=round(per * 1e9 / N, 3), iters=iters)
         del a, b, c
 
-    # --- the real merge shape: k=28 streaming fan-in merge ---
-    # bench.py: fanin=8 batches x 16.71M positions + acc_cap 2^24 rows,
-    # rounded to 64Ki granules = 150,994,944 rows x (2 keys + 1 weight).
+    if not quick:
+        _measure_merge(jax, jnp, count_sort, rng)
+
+
+def _measure_merge(jax, jnp, count_sort, rng):
+    """The real merge shape: k=28 streaming fan-in merge.
+
+    bench.py: fanin=8 batches x 16.71M positions + acc_cap 2^24 rows,
+    rounded to 64Ki granules = 150,994,944 rows x (2 keys + 1 weight).
+    Measured as ONE fused program exactly as pipeline._acc_merge runs it
+    (count_presentineled + compact_marked, 1-D lane columns in and out) —
+    returning stacked [N, 2] words from jit pads the minor dim to 128 on
+    TPU (T(8,128) layout = 64x memory)."""
     K_POS = 4096 * (4096 - 28 + 1)
     n_rows = 8 * K_POS + (1 << 24)
     n_rows = -(-n_rows // (1 << 16)) * (1 << 16)
-    if not quick:
-        a = jnp.asarray(rng.integers(0, 2**32, size=n_rows, dtype=np.uint32))
-        bcol = jnp.asarray(rng.integers(0, 2**32, size=n_rows, dtype=np.uint32))
-        w = jnp.asarray(rng.integers(1, 3, size=n_rows, dtype=np.int32))
+    a = jnp.asarray(rng.integers(0, 2**32, size=n_rows, dtype=np.uint32))
+    bcol = jnp.asarray(rng.integers(0, 2**32, size=n_rows, dtype=np.uint32))
+    w = jnp.asarray(rng.integers(1, 3, size=n_rows, dtype=np.int32))
 
-        mf = jax.jit(lambda x, y, z: count_sort.count_presentineled([x, y], weights=z))
-        per, naive = slope(mf, (a, bcol, w), iters=3)
-        emit("merge_count_presentineled_151M", marginal_s=round(per, 3),
-             naive_s=round(naive, 3), rows=n_rows)
-
-        sc = mf(a, bcol, w)
-        cf = jax.jit(
-            lambda words, cnts, uq: count_sort.compact_marked(
-                (words[:, 0], words[:, 1]), cnts, uq, 1 << 24
-            )
+    def merge_fn(x, y, z):
+        sc = count_sort.count_presentineled([x, y], weights=z)
+        ccols, wts, n_u, over = count_sort.compact_marked(
+            (sc.words[:, 0], sc.words[:, 1]), sc.counts, sc.is_uniq, 1 << 24
         )
-        per_c, naive_c = slope(cf, (sc.words, sc.counts, sc.is_uniq), iters=3)
-        emit("merge_compact_marked_151M", marginal_s=round(per_c, 3),
-             naive_s=round(naive_c, 3), rows=n_rows)
+        return ccols[0], ccols[1], wts, n_u
 
-        # floor model for bench.py stream mode: 2 merges + 16 extracts
-        emit("floor_note",
-             model="16 extracts (~10ms) + 2 x (merge_sort + compact)",
-             floor_s=round(16 * 0.010 + 2 * (per + per_c), 3),
-             bases=16 * 4096 * 4096)
+    mf = jax.jit(merge_fn)
+    per, naive = slope(mf, (a, bcol, w), iters=3)
+    emit("merge_full_151M", marginal_s=round(per, 3),
+         naive_s=round(naive, 3), rows=n_rows)
+
+    # sort-only at the same shape (1-D outputs), isolating the epilogue
+    sf = jax.jit(
+        lambda x, y, z: jax.lax.sort((x, y, z), num_keys=2, is_stable=False)
+    )
+    per_s, naive_s = slope(sf, (a, bcol, w), iters=3)
+    emit("merge_sort_only_151M", marginal_s=round(per_s, 3),
+         naive_s=round(naive_s, 3), rows=n_rows)
+
+    # floor model for bench.py stream mode: 2 merges + 16 extracts
+    emit("floor_note",
+         model="16 extracts (~10ms) + 2 x merge_full",
+         floor_s=round(16 * 0.010 + 2 * per, 3),
+         bases=16 * 4096 * 4096)
 
 
 if __name__ == "__main__":

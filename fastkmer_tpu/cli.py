@@ -138,8 +138,17 @@ def main(argv=None) -> int:
                 cfg, mesh, smer_transport=args.smer_transport,
                 checkpoint_dir=args.checkpoint_dir,
                 checkpoint_interval=args.checkpoint_interval,
+                unique_ub=args.unique_ub, keep_table=args.keep_table,
+                # 'on' is rejected by the driver (no mesh prededup yet);
+                # 'auto' resolves to off on the mesh — reported below
+                prededup={"auto": None, "on": True, "off": False}[args.prededup],
             )
-            extra = {"exchange_bytes": res.exchange_bytes, "balance": res.balance}
+            extra = {
+                "exchange_bytes": res.exchange_bytes,
+                "balance": res.balance,
+                "sync_free_feed": args.unique_ub is not None,
+                "prededup": "off",  # mesh path has no per-batch dedup step
+            }
         else:
             from .pipeline import execute_job
 

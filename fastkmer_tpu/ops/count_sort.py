@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 
 
+# Run totals are int32 scans (_mark_and_count): total weight per call must
+# stay < 2^31.  Accumulators force a host spill when their conservative
+# instance bound reaches this (2^27 of headroom below the wrap).
+WEIGHT_LIMIT = (1 << 31) - (1 << 27)
+
+
 class SortedCounts(NamedTuple):
     """Sorted unique-run view over N input slots.
 

@@ -47,6 +47,69 @@ def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins) -> str:
     return path
 
 
+def write_manifest_shard(out_dir: str, cfg_dict: dict, words, counts, bins,
+                         process_index: int) -> str:
+    """Per-process manifest shard for multi-host runs: each process records
+    ONLY the bins it wrote (its chips' disjoint bin set); process 0 unites
+    the shards with ``merge_manifest_shards`` after a barrier, so the final
+    manifest covers every process's bins (the reference writes per-partition
+    files from each executor, SparkBinKmerCounter.scala:550-606)."""
+    os.makedirs(out_dir, exist_ok=True)
+    uniq, idx = np.unique(bins, return_counts=True) if bins.size else ([], [])
+    shard = {
+        "config": cfg_dict,
+        "process_index": process_index,
+        "n_unique": int(words.shape[0]),
+        "n_instances": int(counts.sum()),
+        "checksum": table_checksum(words, counts),
+        "bins": {int(b): int(c) for b, c in zip(uniq, idx)},
+    }
+    path = os.path.join(out_dir, f"manifest.part{process_index}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(shard, f, indent=2)
+    os.replace(tmp, path)
+    return path
+
+
+def merge_manifest_shards(out_dir: str, n_processes: int) -> str:
+    """Unite ``n_processes`` manifest shards into the directory manifest.
+    Bin sets are disjoint by construction; the combined checksum hashes the
+    per-shard table checksums in process order (no single process holds the
+    full table, so a direct table hash is impossible here — repair via
+    table.npz sidecar is a single-process feature)."""
+    shards = []
+    for pidx in range(n_processes):
+        with open(os.path.join(out_dir, f"manifest.part{pidx}.json")) as f:
+            shards.append(json.load(f))
+    bins: dict = {}
+    for s in shards:
+        overlap = set(bins) & set(s["bins"])
+        if overlap:
+            raise RuntimeError(
+                f"manifest shards claim the same bins {sorted(overlap)[:8]}; "
+                "per-process bin sets must be disjoint"
+            )
+        bins.update(s["bins"])
+    h = hashlib.sha256()
+    for s in shards:
+        h.update(s["checksum"].encode())
+    manifest = {
+        "config": shards[0]["config"],
+        "n_unique": sum(s["n_unique"] for s in shards),
+        "n_instances": sum(s["n_instances"] for s in shards),
+        "checksum": h.hexdigest(),
+        "shards": [s["checksum"] for s in shards],
+        "bins": {int(b): int(c) for b, c in bins.items()},
+    }
+    path = os.path.join(out_dir, MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, path)
+    return path
+
+
 TABLE_SIDECAR = "table.npz"
 
 
@@ -126,10 +189,11 @@ class BatchCheckpointer:
 
     def _cursor(self) -> dict:
         if not os.path.exists(self.cursor_path):
-            return {"completed": 0, "spills": 0}
+            return {"completed": 0, "spills": 0, "log": []}
         with open(self.cursor_path) as f:
             cur = json.load(f)
         cur.setdefault("spills", 0)
+        cur.setdefault("log", [])
         return cur
 
     def _write_cursor(self, cur: dict) -> None:
@@ -150,13 +214,41 @@ class BatchCheckpointer:
 
     def save_spills(self, completed: int, parts: list, first_seq: int) -> None:
         """Persist ``parts`` as spill files ``first_seq..`` and advance the
-        cursor to ``completed`` batches."""
+        cursor to ``completed`` batches.  The cursor keeps a log of every
+        (completed, spills) pair so a resume can ROLL BACK to an earlier
+        agreed cursor (multi-host: processes crash between each other's
+        cursor writes and must re-align on min(completed))."""
         for i, (words, counts, bins) in enumerate(parts):
             np.savez(
                 os.path.join(self.dir, f"spill{first_seq + i:06d}.npz"),
                 words=words, counts=counts, bins=bins,
             )
-        self._write_cursor({"completed": completed, "spills": first_seq + len(parts)})
+        cur = self._cursor()
+        entry = [completed, first_seq + len(parts)]
+        self._write_cursor(
+            {"completed": entry[0], "spills": entry[1], "log": cur["log"] + [entry]}
+        )
+
+    def rollback_to(self, completed: int) -> int:
+        """Discard checkpoint state past ``completed`` batches: truncate to
+        the newest logged cursor entry with completed <= target (the zero
+        state if none), delete the spill files beyond it, and return the
+        batch count actually resumed from.  Used on multi-host resume where
+        a crash between processes' cursor writes leaves cursors one interval
+        apart — every process rolls back to the fleet minimum so the
+        collective feed stays in lockstep (collectives desynchronize if
+        processes skip different batch counts)."""
+        cur = self._cursor()
+        if cur["completed"] <= completed:
+            return cur["completed"]
+        keep = [e for e in cur["log"] if e[0] <= completed]
+        base = keep[-1] if keep else [0, 0]
+        for i in range(base[1], cur["spills"]):
+            p = os.path.join(self.dir, f"spill{i:06d}.npz")
+            if os.path.exists(p):
+                os.remove(p)
+        self._write_cursor({"completed": base[0], "spills": base[1], "log": keep})
+        return base[0]
 
     def load_parts(self) -> list:
         cur = self._cursor()

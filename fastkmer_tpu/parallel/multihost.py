@@ -52,6 +52,29 @@ def init_global_mesh(axis: str = exchange.AXIS) -> Mesh:
     return jax.make_mesh((len(jax.devices()),), (axis,), devices=jax.devices())
 
 
+def agree_min(value: int) -> int:
+    """Fleet-wide min of a per-process host scalar (a tiny all_gather over
+    the global devices).  Used to re-align checkpoint cursors on resume:
+    a crash can land between processes' cursor writes, and resuming from
+    disagreeing cursors would desynchronize the collective feed."""
+    if jax.process_count() == 1:
+        return value
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    vals = multihost_utils.process_allgather(np.int64(value))
+    return int(np.min(vals))
+
+
+def barrier(name: str = "fastkmer") -> None:
+    """Cross-process sync point (no-op single-process)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def host_stripe(n_items: int) -> tuple[int, int]:
     """[start, end) stripe of a globally-indexed input owned by this host —
     the ingest-sharding analogue of HDFS split assignment."""

@@ -246,6 +246,12 @@ def _acc_merge(parts, acc):
 # buffers never alias any output shape.
 _MERGE_JIT = jax.jit(_acc_merge, donate_argnums=(1,))
 
+# Device run totals are int32 scans (count_sort._mark_and_count): the total
+# weight resident on device must stay < 2^31 per merge.  Accumulators force
+# a host spill when the conservative instance bound approaches it, so
+# >2 Gbp of identical k-mers can never wrap silently.
+_WT_LIMIT = count_sort.WEIGHT_LIMIT
+
 
 @partial(jax.jit, static_argnames=("k", "m", "B"))
 def _stack_with_bins(cols: tuple, wts: jnp.ndarray, k: int, m: int, B: int) -> jnp.ndarray:
@@ -324,6 +330,7 @@ class DeviceAccumulator:
         self._acc_ub = 0  # conservative bound on accumulated uniques
         self._pend_ub = 0  # conservative bound on pending new uniques
         self._cum_merged = 0  # conservative total uniques ever merged in
+        self._wt_dev = 0  # bound on total instance weight on device
         self._merge_log: list = []  # (stats_arr, _cum_merged at that merge)
         self.host_spills: list = []  # (words, counts, bins) np arrays
         self._merge = _MERGE_JIT  # shared across instances: one trace cache
@@ -354,10 +361,18 @@ class DeviceAccumulator:
         if self.state is None:
             self.state = self._init_state()
             self._stats_arr = None
+        if self._wt_dev + n_new_ub > _WT_LIMIT:
+            # int32 run-total wrap guard (see _WT_LIMIT) — applies even
+            # under assume_fits: it bounds weights, not capacity
+            self._merge_pending()
+            stats = self._stats()
+            self._raise_if_lost(stats)
+            self._spill(stats)
         self._ensure_room(n_new_ub)
         self.pending.append(part)
         self.rows += int(part[0][0].shape[0])
         self._pend_ub += n_new_ub
+        self._wt_dev += n_new_ub
         if len(self.pending) >= self.fanin or self.rows > self.max_device_rows:
             self._merge_pending()
 
@@ -456,6 +471,7 @@ class DeviceAccumulator:
         self.state = self._init_state()
         self._stats_arr = None
         self._acc_ub = 0
+        self._wt_dev = 0  # spilled weights left the device (pending is empty)
         self._merge_log = []  # old-table stats bound nothing anymore
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -652,6 +668,16 @@ def count_batches(
                 and (batch_idx + 1) % checkpointer.interval == 0
             ):
                 with timer.span("checkpoint"):
+                    # dedup-path compaction overflow must be checked BEFORE
+                    # the spill is persisted: a crash after this checkpoint
+                    # would otherwise resume from undercounted spills and
+                    # the pre-crash overflow signal would be lost (the
+                    # device counter does not survive the process)
+                    if pre_over is not None and int(np.asarray(pre_over)):
+                        raise RuntimeError(
+                            "pre-dedup compaction overflow before checkpoint; "
+                            "re-run with prededup=False"
+                        )
                     acc._merge_pending()
                     stats = acc._stats()
                     acc._raise_if_lost(stats)

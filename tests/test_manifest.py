@@ -156,6 +156,33 @@ def test_checkpoint_resume_distributed(tmp_path, monkeypatch):
     assert ckpt.completed_batches() == 0  # cleared after completion
 
 
+def test_checkpoint_rollback(tmp_path):
+    """rollback_to discards spills past an earlier logged cursor — the
+    multi-host resume re-alignment primitive (processes can crash between
+    each other's cursor writes and must agree on min(completed))."""
+    from fastkmer_tpu.output.manifest import BatchCheckpointer
+
+    ckpt = BatchCheckpointer(str(tmp_path), interval=2)
+    part = [(np.ones((1, 2), np.uint32), np.ones(1, np.int64), np.zeros(1, np.int32))]
+    ckpt.save_spills(2, part, 0)
+    ckpt.save_spills(4, part, 1)
+    assert ckpt.completed_batches() == 4
+    assert len(ckpt.load_parts()) == 2
+
+    # past-the-cursor rollback is a no-op
+    assert ckpt.rollback_to(10) == 4
+
+    assert ckpt.rollback_to(2) == 2
+    assert ckpt.completed_batches() == 2
+    assert len(ckpt.load_parts()) == 1
+    assert not (tmp_path / "spill000001.npz").exists()
+
+    # a target below every logged entry falls back to the zero state
+    assert ckpt.rollback_to(1) == 0
+    assert ckpt.load_parts() == []
+    assert not (tmp_path / "spill000000.npz").exists()
+
+
 def test_repair_output(tmp_path):
     """Delete a bin file; repair_output must restore it exactly."""
     import os

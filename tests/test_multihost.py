@@ -49,6 +49,30 @@ for g in range(4):
 words, counts, bins = ctr.finalize()
 np.savez(f"{outdir}/table{pid}.npz", words=words, counts=counts, bins=bins)
 print("WORKER_OK", pid, flush=True)
+
+# --- driver path, write=1 into a SHARED output directory: each process
+# writes ONLY its chips' bins (no clean-clobber of the other process's
+# files), manifest shards are merged by process 0 (VERDICT r2 missing #1)
+import os as _os
+from fastkmer_tpu.config import JobConfig
+from fastkmer_tpu.parallel.driver import execute_job_distributed
+
+fasta = outdir + "/reads.fa"
+if pid == 0:
+    with open(fasta + ".tmp", "w") as f:
+        for i, r in enumerate(reads):
+            f.write(">r%d\n" % i)
+            f.write("".join("ACGT"[c] for c in r) + "\n")
+    _os.replace(fasta + ".tmp", fasta)  # atomic: reader never sees a partial file
+else:
+    import time as _t
+    while not _os.path.exists(fasta):
+        _t.sleep(0.05)
+cfg = JobConfig(dataset=fasta, output_directory=outdir + "/", prefix="mh_",
+                k=k, m=m, x=3, max_b=B, sequence_type=0, write=True,
+                reads_per_batch=16, read_len=96)
+execute_job_distributed(cfg, mesh, verbose=False)
+print("WRITE_OK", pid, flush=True)
 """
 
 
@@ -82,6 +106,7 @@ def test_two_process_streaming_matches_oracle(tmp_path):
                 pytest.skip(f"CPU gloo collectives unavailable: {out[-400:]}")
             raise AssertionError(f"worker {i} failed:\n{out[-2500:]}")
         assert f"WORKER_OK {i}" in out
+        assert f"WRITE_OK {i}" in out
 
     reads = np.load(tmp_path / "reads.npy")
     k = 25
@@ -99,3 +124,17 @@ def test_two_process_streaming_matches_oracle(tmp_path):
             assert s not in got  # bins partition k-mers: tables are disjoint
             got[s] = int(c)
     assert got == expect
+
+    # the shared output directory: complete, verify_output-clean, exact
+    from fastkmer_tpu.output import manifest as manifest_mod
+    from fastkmer_tpu.output import writer as writer_mod
+
+    out_dir = str(tmp_path / "mh_k25_m8_x3_b64_s0")
+    status = manifest_mod.verify_output(out_dir)
+    assert status["ok"], status
+    written = {
+        km: c
+        for d in writer_mod.read_output_dir(out_dir).values()
+        for km, c in d.items()
+    }
+    assert written == expect

@@ -113,6 +113,59 @@ def test_streaming_counter_retries_exchange_overflow(mesh8):
     assert got == dict(expect)
 
 
+def test_streaming_counter_sync_free_feed(mesh8):
+    """``unique_ub`` asserts the distinct bound: the feed loop must run
+    with ZERO blocking host pulls — no occupancy stats, no dropped-counter
+    reads — and still produce the exact table (counters verified once at
+    finalize).  Any host sync inside feed() fails the test."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(29)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14, fanin=2,
+        owner_map=partitioner.hash_owner_map(B, 8), unique_ub=16000,
+    )
+    assert ctr.assume_fits and ctr.acc_cap >= 16000
+
+    def _boom(*a, **kw):  # any blocking pull during the feed is a failure
+        raise AssertionError("host sync during sync-free feed")
+
+    ctr._stats = _boom
+    ctr._retry_window_if_dropped = _boom
+    for _ in range(5):
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    assert not ctr._window, "sync-free mode must not retain replay windows"
+    del ctr._stats  # finalize is allowed to sync
+    del ctr._retry_window_if_dropped
+
+    words, counts, _ = ctr.finalize()
+    expect = oracles.count_reads(all_reads, k)
+    kmers = bits.decode_words_batch(words, k)
+    got = {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
+    assert got == dict(expect)
+
+
+def test_streaming_counter_sync_free_drop_raises_at_finalize(mesh8):
+    """With the bound asserted, an undersized exchange cap is NOT retried
+    (that would need a blocking pull per merge); the psum'd drop counter
+    must surface as an error at finalize — asserted, never trusted."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(31)
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=8, acc_cap=1 << 14,
+        owner_map=partitioner.hash_owner_map(B, 8), unique_ub=16000,
+    )
+    ctr.feed(to_batch(random_reads(rng, 32, 100), 100))
+    with pytest.raises(RuntimeError, match="exchange overflow"):
+        ctr.finalize()
+
+
 def test_streaming_counter_retry_disabled_raises(mesh8):
     from fastkmer_tpu.parallel import partitioner, stream
 

@@ -113,9 +113,18 @@ def main(argv=None) -> int:
         if mesh is not None:
             from .multiseq.distributed import execute_multiseq_job_distributed
 
-            res = execute_multiseq_job_distributed(cfg, mesh)
+            res = execute_multiseq_job_distributed(
+                cfg, mesh, checkpoint_dir=args.checkpoint_dir,
+                checkpoint_interval=args.checkpoint_interval,
+                unique_ub=args.unique_ub,
+            )
+            extra = {"exchange_bytes": res.exchange_bytes, "balance": res.balance}
         else:
-            res = execute_multiseq_job(cfg)
+            res = execute_multiseq_job(
+                cfg, checkpoint_dir=args.checkpoint_dir,
+                checkpoint_interval=args.checkpoint_interval,
+            )
+            extra = {}
         summary = {
             "mode": "multiseq",
             "mesh": args.mesh,
@@ -125,6 +134,7 @@ def main(argv=None) -> int:
             "n_distance_pairs": len(res.distances),
             "output_dir": cfg.output_dir if cfg.write else None,
             "timings": res.timings,
+            **extra,
         }
     else:
         from .config import JobConfig
@@ -163,6 +173,10 @@ def main(argv=None) -> int:
             "mode": "count",
             "mesh": args.mesh,
             "engine": "hash" if cfg.use_ht else "sort",
+            # measured: the HT engine trails the sort engine at every k on
+            # TPU (1.7-2.4x, benchmarks/ht_vs_sort.py) — parity feature
+            **({"engine_note": "useHT=1 is ~2x slower than useHT=0 on TPU"}
+               if cfg.use_ht else {}),
             "n_instances": res.n_instances,
             "n_unique": int(res.words.shape[0]),
             "n_reads": res.n_reads,

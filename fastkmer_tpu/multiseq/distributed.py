@@ -36,7 +36,10 @@ def _sequence_tag(header: str) -> str:
 
 
 def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
-                                     verbose: bool = True):
+                                     verbose: bool = True,
+                                     checkpoint_dir: str | None = None,
+                                     checkpoint_interval: int = 32,
+                                     unique_ub: int | None = None):
     """Multi-chip execute_multiseq_job (same MultiseqConfig / result type).
 
     Honors ``use_custom_partitioner``/``num_partition_tasks`` with the same
@@ -45,12 +48,15 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
     (SparkMultiSequenceKmerCounter.scala:580-583).  Ingest uses tagged DENSE
     row packing (multiple reads per row, one sequence per row), and the
     exchange capacity is sized from the sampled histogram, not worst-case.
+
+    ``checkpoint_dir`` enables kill-and-resume via the same spill-flow
+    checkpoints as the counting driver; ``unique_ub`` (a bound on distinct
+    (k-mer, sequence) PAIRS) enables the sync-free feed.
     """
     from ..ingest import batch as batching, fasta
-    from ..output import writer
     from ..utils.timing import StageTimer
     from . import distances as dist_mod
-    from .pipeline import (MultiseqResult, _sum_over_sequences, _write_distances,
+    from .pipeline import (MultiseqResult, _write_multiseq_output,
                            accumulate_distances)
 
     timer = StageTimer()
@@ -92,8 +98,10 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
         T = cfg.num_partition_tasks or n
         task_map = partitioner.lpt_owner_map(hist, T, cfg.b)
         owner_map = (task_map % n).astype(np.int32)
+        balance = partitioner.balance_stats(hist, owner_map, n)
     else:
         owner_map = partitioner.hash_owner_map(cfg.b, n)
+        balance = {"sampled": False}
 
     positions = (R // n) * (L - cfg.k + 1)
     if cap is None:
@@ -111,12 +119,35 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
     # all-to-all as an extra key lane; per-batch host pulls eliminated
     acc_cap = 1 << max(14, (2 * n * cap - 1).bit_length())
     ctr = stream.DistributedCounter(
-        mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap, owner_map, with_seq=True
+        mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap, owner_map, with_seq=True,
+        unique_ub=unique_ub,
     )
 
+    ckpt = None
+    skip = 0
+    persisted = 0
+    if checkpoint_dir:
+        import jax
+
+        from ..output import manifest as manifest_mod
+        from ..parallel import multihost
+
+        ckpt = manifest_mod.BatchCheckpointer(checkpoint_dir, checkpoint_interval)
+        skip = ckpt.completed_batches()
+        if jax.process_count() > 1:
+            skip = ckpt.rollback_to(multihost.agree_min(skip))
+        ctr.host_spills.extend(ckpt.load_parts())
+        persisted = len(ctr.host_spills)
+
     with timer.span("count"):
-        for codes, sids, nr, nb in batches():
+        for i, (codes, sids, nr, nb) in enumerate(batches()):
+            if i < skip:
+                continue  # counted before the interruption (names rebuilt)
             ctr.feed(codes, n_reads=nr, n_bases=nb, seq_ids=sids)
+            if ckpt is not None and (i + 1) % ckpt.interval == 0:
+                ctr.spill()
+                ckpt.save_spills(i + 1, ctr.host_spills[persisted:], persisted)
+                persisted = len(ctr.host_spills)
 
     with timer.span("merge"):
         words_ext, counts, bins = ctr.finalize()
@@ -137,10 +168,11 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
 
     if cfg.write:
         with timer.span("write_output"):
-            uw, uc, ub = _sum_over_sequences(words, counts, bins)
-            writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
-            _write_distances(cfg.output_dir, pair_dist, measure)
+            _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure)
+    if ckpt is not None:
+        ckpt.clear()  # run completed
 
     return MultiseqResult(
-        words, seqs, counts, bins, seq_names, pair_dist, int(counts.sum()), timer.as_dict()
+        words, seqs, counts, bins, seq_names, pair_dist, int(counts.sum()),
+        timer.as_dict(), exchange_bytes=ctr.exchange_bytes, balance=balance,
     )

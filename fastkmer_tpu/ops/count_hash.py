@@ -15,10 +15,17 @@ form:
 
 The verification makes exactness unconditional: a 64-bit fingerprint
 collision (prob ~ N^2 / 2^64) raises ``FingerprintCollision`` and the
-caller re-runs the batch with the sort engine.  For k <= 32 the fingerprint
-is the k-mer itself (W <= 2 words), so the engine degenerates to the sort
-path with an extra validity key; its advantage appears for k > 32, where it
-sorts 2 key words instead of W.
+caller re-runs the batch with the sort engine.
+
+PERFORMANCE (measured, benchmarks/ht_vs_sort.py on the TPU v5e at 2^22
+rows): this engine is SLOWER than the sort engine at every k — 2.4x at
+k=28, 1.8x at k=55, 1.7x at k=75/97.  Sorting 3 fingerprint keys instead
+of W word keys does not help because the W word columns still ride as sort
+*values* (the engine permutes W+4 lanes per bitonic pass vs the sort
+engine's W), and lane count is what a TPU sort pays for.  It exists for
+reference parity (useHT=1, extractKXmersHT) and as the cross-engine
+exactness check, not as a fast path; useHT=0 is always the right default
+here, unlike the reference where fastutil's open addressing could win.
 
 Both engines must produce identical count tables — the cross-engine
 equality the reference relied on for validation (SURVEY.md §4).

@@ -31,7 +31,18 @@ def table_checksum(words: np.ndarray, counts: np.ndarray) -> str:
     return h.hexdigest()
 
 
-def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins) -> str:
+def file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins,
+                   extra_files: dict | None = None) -> str:
+    """``extra_files`` maps sibling artifact names (e.g. multiseq's
+    ``distances.json``) to their sha256, so verify_output covers them too."""
     os.makedirs(out_dir, exist_ok=True)
     uniq, idx = np.unique(bins, return_counts=True) if bins.size else ([], [])
     manifest = {
@@ -41,6 +52,8 @@ def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins) -> str:
         "checksum": table_checksum(words, counts),
         "bins": {int(b): int(c) for b, c in zip(uniq, idx)},
     }
+    if extra_files:
+        manifest["extra_files"] = extra_files
     path = os.path.join(out_dir, MANIFEST)
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2)
@@ -146,7 +159,9 @@ def load_table_sidecar(out_dir: str):
 
 def verify_output(out_dir: str) -> dict:
     """Check every bin file recorded in the manifest exists with the right
-    number of k-mer lines.  Returns {ok, missing, mismatched}."""
+    number of k-mer lines, and every extra artifact (e.g. distances.json)
+    matches its recorded sha256.  Returns {ok, missing, mismatched,
+    extra_missing, extra_mismatched}."""
     with open(os.path.join(out_dir, MANIFEST)) as f:
         manifest = json.load(f)
     missing, mismatched = [], []
@@ -160,7 +175,21 @@ def verify_output(out_dir: str) -> dict:
             data = data[:-3]
         if len(data.splitlines()) != n_rows:
             mismatched.append(int(b))
-    return {"ok": not missing and not mismatched, "missing": missing, "mismatched": mismatched}
+    extra_missing, extra_mismatched = [], []
+    for name, digest in manifest.get("extra_files", {}).items():
+        p = os.path.join(out_dir, name)
+        if not os.path.exists(p):
+            extra_missing.append(name)
+        elif file_sha256(p) != digest:
+            extra_mismatched.append(name)
+    return {
+        "ok": not missing and not mismatched
+        and not extra_missing and not extra_mismatched,
+        "missing": missing,
+        "mismatched": mismatched,
+        "extra_missing": extra_missing,
+        "extra_mismatched": extra_mismatched,
+    }
 
 
 class BatchCheckpointer:

@@ -247,6 +247,132 @@ def test_multiseq_distributed_matches_single(tmp_path):
     assert single.sequence_names == dist.sequence_names
 
 
+def test_multiseq_manifest_verify_and_resume(tmp_path, monkeypatch):
+    """L5 gets the recovery machinery (VERDICT r2 weak #8): a multiseq
+    output directory carries a manifest covering the bin files AND a
+    distances.json checksum (verify_output works on it), and a killed run
+    resumes from its checkpoints to the exact same result."""
+    import json
+    import os
+
+    from fastkmer_tpu.ingest import batch as batching
+    from fastkmer_tpu.multiseq import pipeline as ms
+    from fastkmer_tpu.multiseq.pipeline import MultiseqConfig, execute_multiseq_job
+    from fastkmer_tpu.output import manifest as mf
+
+    rng = np.random.default_rng(21)
+
+    def mk_reads(n, L):
+        return ["".join(rng.choice(list("ACGT"), size=L)) for _ in range(n)]
+
+    seqs_reads = {"s1": mk_reads(8, 80), "s2": mk_reads(8, 80)}
+    fa = str(tmp_path / "multi.fa")
+    write_multi_fasta(fa, seqs_reads)
+    cfg = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", k=15, m=6,
+        max_b=32, reads_per_batch=2, read_len=128,
+    )
+    ref = execute_multiseq_job(cfg, verbose=False, device_accumulate=True)
+
+    # the manifest covers bins and the distances checksum
+    status = mf.verify_output(cfg.output_dir)
+    assert status["ok"], status
+    with open(os.path.join(cfg.output_dir, "distances.json"), "a") as f:
+        f.write(" ")  # tamper
+    status = mf.verify_output(cfg.output_dir)
+    assert not status["ok"] and status["extra_mismatched"] == ["distances.json"]
+
+    # kill after 3 batches, resume from the spill checkpoints
+    real = batching.batch_codes_dense_tagged
+
+    def dying(*a, **kw):
+        for i, b in enumerate(real(*a, **kw)):
+            if i == 3:
+                raise KeyboardInterrupt
+            yield b
+
+    ck = str(tmp_path / "ck_ms")
+    monkeypatch.setattr(batching, "batch_codes_dense_tagged", dying)
+    with pytest.raises(KeyboardInterrupt):
+        execute_multiseq_job(
+            cfg, verbose=False, device_accumulate=True,
+            checkpoint_dir=ck, checkpoint_interval=2,
+        )
+    monkeypatch.setattr(batching, "batch_codes_dense_tagged", real)
+    assert mf.BatchCheckpointer(ck).completed_batches() == 2
+
+    res = execute_multiseq_job(
+        cfg, verbose=False, device_accumulate=True,
+        checkpoint_dir=ck, checkpoint_interval=2,
+    )
+    np.testing.assert_array_equal(res.words, ref.words)
+    np.testing.assert_array_equal(res.seqs, ref.seqs)
+    np.testing.assert_array_equal(res.counts, ref.counts)
+    assert res.sequence_names == ref.sequence_names
+    assert res.distances == ref.distances
+    assert mf.BatchCheckpointer(ck).completed_batches() == 0  # cleared
+    assert mf.verify_output(cfg.output_dir)["ok"]  # rewrite healed the tamper
+
+
+def test_multiseq_distributed_metrics_and_checkpoint(tmp_path, monkeypatch):
+    """The distributed multiseq result reports exchange_bytes + balance
+    (VERDICT r2 weak #7) and resumes from checkpoints on the mesh."""
+    import jax
+
+    from fastkmer_tpu.ingest import batch as batching
+    from fastkmer_tpu.multiseq.distributed import execute_multiseq_job_distributed
+    from fastkmer_tpu.multiseq.pipeline import MultiseqConfig
+    from fastkmer_tpu.output import manifest as mf
+    from fastkmer_tpu.parallel import exchange
+
+    rng = np.random.default_rng(22)
+
+    def mk_reads(n, L):
+        return ["".join(rng.choice(list("ACGT"), size=L)) for _ in range(n)]
+
+    seqs_reads = {"a1": mk_reads(10, 80), "b2": mk_reads(10, 80)}
+    fa = str(tmp_path / "multi.fa")
+    write_multi_fasta(fa, seqs_reads)
+    cfg = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/d_", k=15, m=6,
+        max_b=32, reads_per_batch=4, read_len=128, write=False,
+        use_custom_partitioner=True, num_partition_tasks=4,
+    )
+    mesh = jax.make_mesh((4,), (exchange.AXIS,), devices=jax.devices("cpu")[:4])
+    ref = execute_multiseq_job_distributed(cfg, mesh, verbose=False)
+    assert ref.exchange_bytes > 0
+    assert "imbalance" in ref.balance or ref.balance.get("sampled") is False
+
+    real = batching.batch_codes_dense_tagged
+    calls = []
+
+    def dying(*a, **kw):
+        # the LPT pre-pass iterates the batch stream too — only the MAIN
+        # feed pass (second instantiation) should die
+        calls.append(1)
+        fatal = len(calls) >= 2
+        for i, b in enumerate(real(*a, **kw)):
+            if fatal and i == 3:
+                raise KeyboardInterrupt
+            yield b
+
+    ck = str(tmp_path / "ck_msd")
+    monkeypatch.setattr(batching, "batch_codes_dense_tagged", dying)
+    with pytest.raises(KeyboardInterrupt):
+        execute_multiseq_job_distributed(
+            cfg, mesh, verbose=False, checkpoint_dir=ck, checkpoint_interval=2
+        )
+    monkeypatch.setattr(batching, "batch_codes_dense_tagged", real)
+    assert mf.BatchCheckpointer(ck).completed_batches() == 2
+
+    res = execute_multiseq_job_distributed(
+        cfg, mesh, verbose=False, checkpoint_dir=ck, checkpoint_interval=2
+    )
+    np.testing.assert_array_equal(res.words, ref.words)
+    np.testing.assert_array_equal(res.counts, ref.counts)
+    assert res.distances == ref.distances
+
+
 def test_sra_accession_tagging(tmp_path):
     """SRR197985.1 / SRR197985.2 reads tag ONE sequence SRR197985 — the
     reference's "(\\w+)." header extraction (README.md sequences.fasta)."""

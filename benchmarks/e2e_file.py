@@ -1,0 +1,144 @@
+"""Production path, file to output, at spill scale (VERDICT r2 #2).
+
+Generates a coverage-sampled FASTA ON DISK (default ~1 Gbp of 4 kbp reads
+over a 16.8 Mbp genome), then measures:
+
+  * native parse only          (fk_parse_fasta + fk_encode, Mbp/s)
+  * ingest only                (parse + k-1 chunking + dense pack, Mbp/s)
+  * execute_job, spill regime  (acc_cap auto-sized BELOW the genome's
+    distinct count -> >= 2 host spills; write=1, full bin files + manifest)
+  * execute_job, asserted      (unique_ub=genome: sync-free feed, no spill)
+
+Through the axon tunnel the spill regime is dominated by D2H table pulls
+(~134 MB per spill at 6-33 MB/s) and the per-batch room-check syncs
+(~0.6 s RTT each) — artifacts of the remote link; the asserted run is the
+representative on-hardware number (CLAUDE.md).  Both are reported.
+
+Usage: python benchmarks/e2e_file.py [gbp] [--keep]
+Prints one JSON line per measurement; diagnostics to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+GENOME = 1 << 24  # 16.8 Mbp
+READ_LEN = 4000
+K, M, B = 28, 10, 512
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(name, **kw):
+    print(json.dumps({"measure": name, **kw}), flush=True)
+
+
+def gen_fasta(path: str, gbp: float, rng) -> int:
+    """Coverage-sampled reads from one fixed genome; returns total bases."""
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = lut[rng.integers(0, 4, size=GENOME + READ_LEN, dtype=np.int64)]
+    n_reads = int(gbp * 1e9 / READ_LEN)
+    total = 0
+    with open(path, "wb") as f:
+        per_flush = 4096
+        for base in range(0, n_reads, per_flush):
+            cnt = min(per_flush, n_reads - base)
+            starts = rng.integers(0, GENOME, size=cnt)
+            chunks = []
+            for i in range(cnt):
+                chunks.append(b">r%d\n" % (base + i))
+                chunks.append(genome[starts[i] : starts[i] + READ_LEN].tobytes())
+                chunks.append(b"\n")
+            f.write(b"".join(chunks))
+            total += cnt * READ_LEN
+    return total
+
+
+def main():
+    gbp = float(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1] != "--keep" else 1.0
+    keep = "--keep" in sys.argv
+    import jax  # noqa: F401
+
+    from fastkmer_tpu.utils import jaxcache  # noqa: F401
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.config import JobConfig
+    from fastkmer_tpu.ingest import batch as ingest_batch
+    from fastkmer_tpu.ingest import native as ingest_native
+
+    work = tempfile.mkdtemp(prefix="fk_e2e_")
+    fa = os.path.join(work, "reads.fa")
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    total = gen_fasta(fa, gbp, rng)
+    log(f"generated {total/1e6:.0f} Mbp FASTA in {time.perf_counter()-t0:.0f}s "
+        f"({os.path.getsize(fa)/1e9:.2f} GB) at {fa}")
+
+    # --- native parse only ---
+    assert ingest_native.available(), "native ingest lib missing"
+    t0 = time.perf_counter()
+    codes, starts = ingest_native.parse_file(fa, "fasta")
+    dt = time.perf_counter() - t0
+    emit("native_parse_encode", mbp_per_s=round(total / dt / 1e6, 1),
+         wall_s=round(dt, 2), records=int(starts.shape[0] - 1))
+    del codes, starts
+
+    # --- ingest only (parse + chunk + dense pack) ---
+    t0 = time.perf_counter()
+    nb = 0
+    for codes_b, _nr, _nb in ingest_batch.batch_file(fa, 0, K, 4096, 4096):
+        nb += _nb
+    dt = time.perf_counter() - t0
+    emit("ingest_to_batches", mbp_per_s=round(nb / dt / 1e6, 1),
+         wall_s=round(dt, 2), bases=nb)
+
+    # --- full jobs on device ---
+    spills = {"n": 0}
+    orig_spill = pipeline.DeviceAccumulator._spill
+
+    def spy(self, stats):
+        if stats["n_unique"]:
+            spills["n"] += 1
+            log(f"  spill #{spills['n']}: {stats['n_unique']} uniques")
+        return orig_spill(self, stats)
+
+    pipeline.DeviceAccumulator._spill = spy
+    for name, ub in (("spill_regime", None), ("asserted_ub", GENOME)):
+        spills["n"] = 0
+        cfg = JobConfig(
+            dataset=fa, output_directory=work + "/", prefix=f"{name}_",
+            k=K, m=M, max_b=B, write=True,
+            reads_per_batch=1024, read_len=4096,
+        )
+        t0 = time.perf_counter()
+        res = pipeline.execute_job(cfg, verbose=False, unique_ub=ub)
+        dt = time.perf_counter() - t0
+        n_spills = spills["n"]
+        emit(
+            f"execute_job_{name}",
+            wall_s=round(dt, 1),
+            gbp_per_s=round(res.n_bases / dt / 1e9, 4),
+            host_spills=n_spills,
+            uniques=int(res.words.shape[0]),
+            stage_s={k2: round(v, 1) for k2, v in res.timings.items()},
+        )
+    pipeline.DeviceAccumulator._spill = orig_spill
+
+    if not keep:
+        shutil.rmtree(work)
+    else:
+        log(f"kept {work}")
+
+
+if __name__ == "__main__":
+    main()

@@ -186,6 +186,8 @@ def compact_marked(
     is_uniq: jnp.ndarray,
     out_cap: int,
     block: int = 8192,
+    pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Compact the marker rows of a SORTED run view to the front, in order,
     at fixed capacity.
@@ -207,6 +209,12 @@ def compact_marked(
 
     Requires the sentinel to sort after every live row (sentinel-safe keys,
     or a trailing lane that is never all-ones on live rows).
+
+    ``pallas=True`` runs the block-local sorts through the fused bitonic
+    kernel (ops.pallas_sort.sort_blocks) — 2.2x cheaper per stage than
+    XLA's batched sort on TPU (the whole network stays in VMEM); the DUS
+    stitch is unchanged.  Callers resolve availability (TPU backend, env
+    kill-switch) the same way they resolve the Pallas extractor.
     """
     N = cols[0].shape[0]
     W = len(cols)
@@ -216,12 +224,23 @@ def compact_marked(
     ones = jnp.uint32(0xFFFFFFFF)
     ccols = [jnp.where(is_uniq, c, ones) for c in cols]
     cnts = jnp.where(is_uniq, counts, 0)
-    blocked = jax.lax.sort(
-        tuple(c.reshape(nb, block) for c in ccols) + (cnts.reshape(nb, block),),
-        dimension=1,
-        num_keys=W,
-        is_stable=False,
-    )
+    if pallas and block >= 1024:
+        from . import pallas_sort
+
+        in_vma = getattr(getattr(cols[0], "aval", None), "vma", frozenset())
+        flat = pallas_sort.sort_blocks(
+            tuple(ccols) + (cnts,), num_keys=W, block=block,
+            interpret=pallas_interpret,
+            vma=frozenset(in_vma) if in_vma else None,
+        )
+        blocked = tuple(c.reshape(nb, block) for c in flat)
+    else:
+        blocked = jax.lax.sort(
+            tuple(c.reshape(nb, block) for c in ccols) + (cnts.reshape(nb, block),),
+            dimension=1,
+            num_keys=W,
+            is_stable=False,
+        )
     live = blocked[W - 1] != ones  # [nb, block]
     h = jnp.sum(live.astype(jnp.int32), axis=1)
     n_u = jnp.sum(h)

@@ -240,7 +240,8 @@ class DistributedCounter:
             # asserted in the ctor
             ncols, new_wts, n_u, over = count_sort.compact_marked(
                 tuple(sc.words[:, w] for w in range(W)), sc.counts, sc.is_uniq,
-                acc_cap,
+                acc_cap, pallas=self._use_pallas,
+                pallas_interpret=self._pallas_interpret,
             )
             new_words = jnp.stack(ncols, axis=1)
             return AccState(
@@ -378,7 +379,17 @@ class DistributedCounter:
         transfer — the merge would wait on the newest exchange anyway) and,
         if any entry was dropped, rebuild the exchange at doubled capacity
         and replay the retained window inputs.  Capacity is clipped at the
-        per-src worst case, where overflow is impossible by construction."""
+        per-src worst case, where overflow is impossible by construction.
+
+        The replay re-runs the feed-time CAPACITY checks per batch: the
+        doubled cap raises each replayed batch's per-chip unique bound, so
+        a window that fit acc_cap when fed can exceed it when retried — the
+        replay must be allowed to merge sub-windows and spill between them,
+        exactly like feed() (found by the retry+spill fuzz,
+        tests/test_adaptive_fuzz.py).  _ensure_room may recurse into
+        _merge_pending for the ALREADY-replayed prefix; self._window holds
+        exactly that prefix at all times, so a nested retry replays a
+        consistent set."""
         while True:
             drops = np.asarray(jnp.stack([p[1] for p in self.pending]))
             if int(drops.sum()) == 0:
@@ -391,11 +402,19 @@ class DistributedCounter:
             self.cap = min(self.cap * 2, self._cap_limit)
             self.n_retries += 1
             self._exchange = self._build_exchange()
+            window = self._window
             self.pending = []
+            self._window = []
             self._pend_ub = 0
-            for sharded, sids, pos in self._window:
+            for sharded, sids, pos in window:
+                positions = min(pos, self.n * self.cap)
+                # fresh conservative charge; the original feed's (smaller)
+                # charge stays — overcounting _wt_dev only spills earlier
+                self._wt_dev += positions
+                self._ensure_room(positions)
                 self._dispatch(sharded, sids)
-                self._pend_ub += min(pos, self.n * self.cap)
+                self._window.append((sharded, sids, pos))
+                self._pend_ub += positions
 
     def _stats(self) -> dict:
         """Counters of merges completed so far (pending parts excluded);

@@ -160,8 +160,7 @@ def _batch_nuniq(sc: count_sort.SortedCounts) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("k", "m", "B", "cap", "use_pallas"))
 def _batch_count_dedup(
-    codes: jnp.ndarray, over_in: jnp.ndarray, k: int, m: int, B: int,
-    cap: int, use_pallas: bool,
+    codes: jnp.ndarray, k: int, m: int, B: int, cap: int, use_pallas: bool,
 ):
     """Pre-dedup device step for DUP-HEAVY inputs: per-batch count, then
     compact the unique rows to ``cap`` (count_sort.compact_marked) so the
@@ -169,8 +168,14 @@ def _batch_count_dedup(
     (k,x)-mer run compression re-landed where it pays on TPU
     (SparkBinKmerCounter.scala:467-525).  Worth it only when the in-batch
     distinct ratio is well under cap/positions (count_batches probes and
-    switches adaptively); compaction overflow is ACCUMULATED on device and
-    checked once at finalize — never silent, never a per-batch sync."""
+    switches adaptively).
+
+    Returns (ccols, wts, n_u, over): per-BATCH unique count and compaction
+    overflow scalars.  The caller prefetches both without blocking and,
+    when ``over`` lands nonzero, falls back to re-feeding THAT batch raw
+    (lossless — an input whose duplication ratio flips right after a probe
+    can exceed the cap, and dropping its uniques or aborting the run would
+    make the adaptive default unsafe on oscillating inputs)."""
     cols = _batch_extract_keys(codes, k, m, B, use_pallas)
     N = cols[0].shape[0]
     pad = -N % (1 << 16)  # compact block granularity
@@ -178,11 +183,11 @@ def _batch_count_dedup(
         ones = jnp.uint32(0xFFFFFFFF)
         cols = tuple(jnp.concatenate([c, jnp.full(pad, ones, jnp.uint32)]) for c in cols)
     sc = count_sort.count_presentineled(list(cols))
-    ccols, wts, _n_u, over = count_sort.compact_marked(
+    ccols, wts, n_u, over = count_sort.compact_marked(
         tuple(sc.words[:, w] for w in range(sc.words.shape[1])),
-        sc.counts, sc.is_uniq, cap,
+        sc.counts, sc.is_uniq, cap, pallas=pallas_sort_available(),
     )
-    return ccols, wts, over_in + over
+    return ccols, wts, n_u, over
 
 
 @partial(jax.jit, static_argnames=("acc_cap", "lanes"))
@@ -193,7 +198,7 @@ def _init_acc_state(acc_cap: int, lanes: int):
     return (cols, jnp.zeros(acc_cap, jnp.int32), jnp.int32(0), jnp.int32(0))
 
 
-def _acc_merge(parts, acc):
+def _acc_merge(parts, acc, pallas_sort_ok: bool = False):
     """One fused weighted merge: (raw/counted parts, accumulator) -> new
     accumulator at fixed capacity.
 
@@ -201,7 +206,9 @@ def _acc_merge(parts, acc):
     instances (weight 1 where non-sentinel), arrays mean pre-counted
     uniques.  acc: (cols, wts, n_unique, overflow).  Inputs are padded to
     a 64Ki granule so the compile set stays bounded; the merge is ONE
-    weighted count sort + scan-only run totals + block compaction.
+    weighted count sort + scan-only run totals + block compaction
+    (``pallas_sort_ok`` routes the compaction's block sorts through the
+    fused bitonic kernel on TPU — ops.pallas_sort).
     """
     acc_cols, acc_wts, _acc_nu, acc_over = acc
     W = len(acc_cols)
@@ -236,7 +243,8 @@ def _acc_merge(parts, acc):
     # (count_sort.compact_marked; sentinel-safety is guaranteed on this
     # path by the sentinel_safe_for(k) / extra-lane gate)
     new_cols, new_wts, n_u, over = count_sort.compact_marked(
-        tuple(sc.words[:, w] for w in range(W)), sc.counts, sc.is_uniq, acc_cap
+        tuple(sc.words[:, w] for w in range(W)), sc.counts, sc.is_uniq, acc_cap,
+        pallas=pallas_sort_ok,
     )
     return (new_cols, new_wts, jnp.minimum(n_u, acc_cap), acc_over + over)
 
@@ -244,7 +252,19 @@ def _acc_merge(parts, acc):
 # One shared jit wrapper (per-instance wrappers would re-trace every merge
 # variant per DeviceAccumulator).  Donate only the accumulator: part
 # buffers never alias any output shape.
-_MERGE_JIT = jax.jit(_acc_merge, donate_argnums=(1,))
+_MERGE_JIT = jax.jit(_acc_merge, static_argnums=(2,), donate_argnums=(1,))
+
+
+def pallas_sort_available() -> bool:
+    """True when the fused bitonic block sort should run for real: TPU
+    backend, not disabled via FASTKMER_NO_PALLAS=1.  Unlike the extractor
+    it has no k gate — the compaction sort's lane count is data-shape only."""
+    import os
+
+    return (
+        os.environ.get("FASTKMER_NO_PALLAS") != "1"
+        and jax.default_backend() not in ("cpu",)
+    )
 
 # Device run totals are int32 scans (count_sort._mark_and_count): the total
 # weight resident on device must stay < 2^31 per merge.  Accumulators force
@@ -334,6 +354,7 @@ class DeviceAccumulator:
         self._merge_log: list = []  # (stats_arr, _cum_merged at that merge)
         self.host_spills: list = []  # (words, counts, bins) np arrays
         self._merge = _MERGE_JIT  # shared across instances: one trace cache
+        self._pallas_sort = pallas_sort_available()
 
     def _init_state(self):
         # built ON DEVICE: a host device_put of the sentinel padding ships
@@ -379,7 +400,7 @@ class DeviceAccumulator:
     def _merge_pending(self) -> None:
         if not self.pending:
             return
-        self.state = self._merge(tuple(self.pending), self.state)
+        self.state = self._merge(tuple(self.pending), self.state, self._pallas_sort)
         self.pending = []
         self.rows = 0
         self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
@@ -574,11 +595,46 @@ def count_batches(
         else None
     )
     PROBE_EVERY, ENGAGE_BELOW = 16, 0.20
+    DEDUP_INFLIGHT = 4  # dedup parts awaiting their overflow scalar
     if flagged:
         prededup = False  # probe/dedup paths are W-lane shaped
     dedup_mode = prededup is True
     probe_pending: list = []  # (positions, prefetched n_unique scalar)
-    pre_over = None  # device-accumulated compaction overflow (dedup mode)
+    # dedup parts are held OUT of the accumulator until their per-batch
+    # compaction-overflow scalar lands (prefetched, polled with is_ready —
+    # never a sync): a clean part joins via add_part; an overflowed one is
+    # re-extracted RAW from the retained codes and joins via add_raw, so an
+    # input whose duplication ratio flips mid-stream can never lose counts
+    # or abort the run (adversarial-oscillation safety; the queue is
+    # bounded, blocking only if scalars lag DEDUP_INFLIGHT batches behind)
+    dedup_pending: list = []  # (codes, dcols, dwts, positions, n_u, over)
+
+    def _admit_dedup(entry, block: bool) -> bool:
+        """Admit one in-flight dedup part into the accumulator once its
+        per-batch scalars have landed (non-blocking unless the queue is
+        full or a checkpoint/finalize needs completeness).  Overflowed
+        batches are re-fed RAW from the retained codes — never dropped,
+        never fatal."""
+        nonlocal dedup_mode
+        codes_q, qcols, qwts, qpos, q_nu, q_over = entry
+        if not block:
+            try:
+                if not q_over.is_ready():
+                    return False
+            except AttributeError:
+                pass
+        if int(np.asarray(q_over)):
+            # the input turned distinct-heavy mid-window: this batch's
+            # compaction dropped uniques — recount it raw (lossless) and,
+            # in adaptive mode, disengage
+            acc.add_raw(_batch_extract_keys(codes_q, k, m, B, use_pallas))
+            if prededup is None:
+                dedup_mode = False
+        else:
+            acc.add_part(qcols, qwts)
+            probe_pending.append((qpos, q_nu))
+        return True
+
     skip = 0
     persisted_spills = 0
     if checkpointer is not None:
@@ -626,11 +682,15 @@ def count_batches(
                 R_, L_ = codes.shape
                 npos = R_ * (L_ - k + 1)
                 dcap = (npos + (-npos % (1 << 16))) // 4
-                if pre_over is None:
-                    pre_over = jnp.zeros((), jnp.int32)
-                dcols, dwts, pre_over = _batch_count_dedup(
-                    jnp.asarray(codes), pre_over, k, m, B, dcap, use_pallas
+                codes_d = jnp.asarray(codes)
+                dcols, dwts, d_nu, d_over = _batch_count_dedup(
+                    codes_d, k, m, B, dcap, use_pallas
                 )
+                for a in (d_nu, d_over):
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
             elif acc is not None:
                 # deferred path: stage-1 extract only; the accumulator's
                 # fan-in merge does all the sorting
@@ -648,10 +708,16 @@ def count_batches(
                 if probe:
                     acc.add(sc)
                 elif dedup_mode:
-                    acc.add_part(dcols, dwts)
+                    dedup_pending.append(
+                        (codes_d, dcols, dwts, npos, d_nu, d_over)
+                    )
                 else:
                     acc.add_raw(cols)
-            # non-blocking mode update from landed probe stats
+                while dedup_pending and _admit_dedup(
+                    dedup_pending[0], len(dedup_pending) > DEDUP_INFLIGHT
+                ):
+                    dedup_pending.pop(0)
+            # non-blocking mode update from landed probe/dedup stats
             while probe_pending:
                 try:
                     ready = probe_pending[0][1].is_ready()
@@ -668,16 +734,13 @@ def count_batches(
                 and (batch_idx + 1) % checkpointer.interval == 0
             ):
                 with timer.span("checkpoint"):
-                    # dedup-path compaction overflow must be checked BEFORE
-                    # the spill is persisted: a crash after this checkpoint
-                    # would otherwise resume from undercounted spills and
-                    # the pre-crash overflow signal would be lost (the
-                    # device counter does not survive the process)
-                    if pre_over is not None and int(np.asarray(pre_over)):
-                        raise RuntimeError(
-                            "pre-dedup compaction overflow before checkpoint; "
-                            "re-run with prededup=False"
-                        )
+                    # in-flight dedup parts must be admitted BEFORE the
+                    # spill is persisted: the checkpoint cursor claims every
+                    # batch <= batch_idx is in the persisted spills, and an
+                    # overflowed part's raw recount must not be lost to a
+                    # crash (the device counters do not survive the process)
+                    while dedup_pending:
+                        _admit_dedup(dedup_pending.pop(0), True)
                     acc._merge_pending()
                     stats = acc._stats()
                     acc._raise_if_lost(stats)
@@ -702,12 +765,8 @@ def count_batches(
         raise FingerprintCollision(
             "64-bit fingerprint collision; re-run with the sort engine"
         )
-    if pre_over is not None and int(np.asarray(pre_over)):
-        raise RuntimeError(
-            "pre-dedup compaction overflow (a batch's distinct count "
-            "exceeded the cap sized for heavy duplication); re-run with "
-            "prededup=False"
-        )
+    while dedup_pending:  # drain in-flight dedup parts before finalize
+        _admit_dedup(dedup_pending.pop(0), True)
     with timer.span("merge"):
         if acc is not None:
             words, counts, bins = acc.finalize()

@@ -55,12 +55,12 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def merge_fn(pallas):
+    def merge_fn(pallas, block=8192):
         def f(x, y, z):
             sc = count_sort.count_presentineled([x, y], weights=z)
             return count_sort.compact_marked(
                 (sc.words[:, 0], sc.words[:, 1]), sc.counts, sc.is_uniq,
-                1 << 24, pallas=pallas,
+                1 << 24, block=block, pallas=pallas,
             )
         return jax.jit(f)
 
@@ -87,9 +87,15 @@ def main():
     a = jnp.asarray(rng.integers(0, 2**32, size=n_rows, dtype=np.uint32))
     b = jnp.asarray(rng.integers(0, 2**32, size=n_rows, dtype=np.uint32))
     w = jnp.asarray(rng.integers(1, 3, size=n_rows, dtype=np.int32))
-    for name, pallas in (("lax", False), ("pallas", True)):
-        per = slope(merge_fn(pallas), (a, b, w), iters=3)
-        emit(f"merge_full_151M_{name}", marginal_s=round(per, 3))
+    variants = [("lax", False, 8192), ("pallas", True, 8192)]
+    if len(sys.argv) > 1 and sys.argv[1] == "blocks":
+        variants = [
+            ("pallas", True, 1 << 15), ("pallas", True, 1 << 16),
+            ("lax", False, 1 << 15),
+        ]
+    for name, pallas, block in variants:
+        per = slope(merge_fn(pallas, block), (a, b, w), iters=3)
+        emit(f"merge_full_151M_{name}_b{block}", marginal_s=round(per, 3))
 
 
 if __name__ == "__main__":

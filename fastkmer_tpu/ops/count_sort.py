@@ -211,10 +211,14 @@ def compact_marked(
     or a trailing lane that is never all-ones on live rows).
 
     ``pallas=True`` runs the block-local sorts through the fused bitonic
-    kernel (ops.pallas_sort.sort_blocks) — 2.2x cheaper per stage than
-    XLA's batched sort on TPU (the whole network stays in VMEM); the DUS
-    stitch is unchanged.  Callers resolve availability (TPU backend, env
-    kill-switch) the same way they resolve the Pallas extractor.
+    kernel (ops.pallas_sort.sort_blocks); the DUS stitch is unchanged.
+    Standalone, the kernel beats XLA's batched sort 2.2x per stage
+    (benchmarks/pallas_sort_probe.py), but INSIDE the fused 151M-row merge
+    program the swap measured a wash (1.139 vs 1.124 s,
+    benchmarks/compact_probe.py) — XLA fuses the sentinel rewrite and
+    overlaps the batched sort well enough at merge shape — so production
+    call sites keep lax with block=1<<15 (the measured best) and the Pallas
+    path is an explicit opt-in (pallas_compact_opt_in).
     """
     N = cols[0].shape[0]
     W = len(cols)
@@ -273,6 +277,15 @@ def compact_marked(
         n_u,
         jnp.maximum(n_u - out_cap, 0),
     )
+
+
+def pallas_compact_opt_in() -> bool:
+    """FASTKMER_PALLAS_COMPACT=1 routes compact_marked's block sorts through
+    the Pallas bitonic kernel.  Off by default: measured parity inside the
+    production merge (see compact_marked's docstring)."""
+    import os
+
+    return os.environ.get("FASTKMER_PALLAS_COMPACT") == "1"
 
 
 def sentinel_safe_for(k: int) -> bool:

@@ -240,7 +240,8 @@ class DistributedCounter:
             # asserted in the ctor
             ncols, new_wts, n_u, over = count_sort.compact_marked(
                 tuple(sc.words[:, w] for w in range(W)), sc.counts, sc.is_uniq,
-                acc_cap, pallas=self._use_pallas,
+                acc_cap, block=1 << 15,
+                pallas=count_sort.pallas_compact_opt_in() and self._use_pallas,
                 pallas_interpret=self._pallas_interpret,
             )
             new_words = jnp.stack(ncols, axis=1)

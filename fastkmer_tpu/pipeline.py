@@ -216,8 +216,16 @@ def _acc_merge(parts, acc, pallas_sort_ok: bool = False):
     ones = jnp.uint32(0xFFFFFFFF)
     n_rows = sum(p[0][0].shape[0] for p in parts) + acc_cap
     # round to 64Ki granules: bounded compile set without power-of-two
-    # memory blowup (a pow2 round of 8 batches + acc nearly doubles HBM)
+    # memory blowup (a pow2 round of 8 batches + acc nearly doubles HBM).
+    # EXCEPT when a pow2 is within 10%: lax.sort at a pow2 row count costs
+    # 4.28 ns/elem vs 5.45 at the 151M production shape (measured,
+    # benchmarks/split_merge_probe.py) — 21% off the dominant stage for a
+    # <=10% pad, so the accumulator's merge trigger aims for near-pow2
+    # totals (DeviceAccumulator._append) and the merge pads the rest
     cap_in = -(-n_rows // (1 << 16)) * (1 << 16)
+    p2 = 1 << (n_rows - 1).bit_length()
+    if p2 <= n_rows * 1.10:
+        cap_in = max(cap_in, p2)
     pad = cap_in - n_rows
     mcols = []
     for w in range(W):
@@ -244,7 +252,7 @@ def _acc_merge(parts, acc, pallas_sort_ok: bool = False):
     # path by the sentinel_safe_for(k) / extra-lane gate)
     new_cols, new_wts, n_u, over = count_sort.compact_marked(
         tuple(sc.words[:, w] for w in range(W)), sc.counts, sc.is_uniq, acc_cap,
-        pallas=pallas_sort_ok,
+        block=1 << 15, pallas=pallas_sort_ok,
     )
     return (new_cols, new_wts, jnp.minimum(n_u, acc_cap), acc_over + over)
 
@@ -256,13 +264,12 @@ _MERGE_JIT = jax.jit(_acc_merge, static_argnums=(2,), donate_argnums=(1,))
 
 
 def pallas_sort_available() -> bool:
-    """True when the fused bitonic block sort should run for real: TPU
-    backend, not disabled via FASTKMER_NO_PALLAS=1.  Unlike the extractor
-    it has no k gate — the compaction sort's lane count is data-shape only."""
-    import os
-
+    """True when the Pallas compaction sort should run: explicit opt-in
+    (FASTKMER_PALLAS_COMPACT=1) on a non-CPU backend.  Off by default —
+    measured parity with the fused lax path at the production merge shape
+    (benchmarks/compact_probe.py; count_sort.compact_marked docstring)."""
     return (
-        os.environ.get("FASTKMER_NO_PALLAS") != "1"
+        count_sort.pallas_compact_opt_in()
         and jax.default_backend() not in ("cpu",)
     )
 
@@ -340,8 +347,15 @@ class DeviceAccumulator:
         self.fanin = fanin
         self.max_device_rows = max_device_rows
         if unique_ub is not None and acc_cap is None:
-            # next 64Ki granule with ~6% headroom, floor 2^14
-            acc_cap = max(1 << 14, -(-int(unique_ub * 1.0625) // (1 << 16)) * (1 << 16))
+            # next 64Ki granule + 2 granules of slack, floor 2^14.  The
+            # slack is deliberately SMALL (not a % headroom): the bound is
+            # verified at finalize, and a tight cap lets the pow2 merge
+            # trigger fire (7 batches + cap ~= 2^27; _append) — a 6%
+            # headroom pushed the window past the pow2 and cost 21% of the
+            # sort (split_merge_probe.py)
+            acc_cap = max(
+                1 << 14, (-(-int(unique_ub) // (1 << 16)) + 2) * (1 << 16)
+            )
         self.acc_cap = acc_cap  # sized from the first part when None
         self.assume_fits = unique_ub is not None
         self.state = None  # (cols tuple [acc_cap], wts, n_unique [], overflow [])
@@ -389,6 +403,19 @@ class DeviceAccumulator:
             stats = self._stats()
             self._raise_if_lost(stats)
             self._spill(stats)
+        if len(self.pending) >= max(2, self.fanin - 2):
+            # pow2 merge scheduling: when the buffered rows + accumulator
+            # sit just under a power of two and this part would cross it,
+            # merge NOW — lax.sort at a pow2 row count is 21% cheaper per
+            # element than at the 1.12x-pow2 production shape (measured,
+            # split_merge_probe.py; _acc_merge pads the <=10% remainder).
+            # Gated on a near-full window so the pow2 bonus never trades
+            # away fan-in amortization (merging early re-sorts the
+            # accumulator more often, which costs more than it saves)
+            cur = self.rows + self.acc_cap
+            p2 = 1 << (cur - 1).bit_length()
+            if p2 <= cur * 1.10 and cur + int(part[0][0].shape[0]) > p2:
+                self._merge_pending()
         self._ensure_room(n_new_ub)
         self.pending.append(part)
         self.rows += int(part[0][0].shape[0])

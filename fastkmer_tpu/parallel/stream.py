@@ -208,6 +208,11 @@ class DistributedCounter:
         n, acc_cap, W = self.n, self.acc_cap, self.W
         n_rows = nparts * n * self.cap + acc_cap
         cap_in = -(-n_rows // (1 << 16)) * (1 << 16)  # 64Ki granules, bounded compiles
+        # pad to a power of two when within 10%: lax.sort at pow2 row
+        # counts measured 21% cheaper per element (split_merge_probe.py)
+        p2 = 1 << (n_rows - 1).bit_length()
+        if p2 <= n_rows * 1.10:
+            cap_in = max(cap_in, p2)
         specs_part = tuple(tuple(P(AXIS) for _ in range(W)) for _ in range(nparts))
         acc_spec = AccState(P(AXIS), P(AXIS), P(), P(), P())
 

@@ -76,6 +76,38 @@ def test_sort_blocks_preserves_int32_value_dtype():
     )
 
 
+@pytest.mark.parametrize(
+    "n_keys,n_vals,block,N",
+    [(1, 0, 1024, 4096), (2, 1, 1024, 8192), (2, 1, 2048, 4096)],
+)
+def test_bitonic_merge_matches_full_sort(n_keys, n_vals, block, N):
+    """Merging [A ascending | B descending] (B sorted on bit-NOT keys, so
+    its sentinels sit at the junction) must equal a full lexicographic sort
+    of the union — the O(n log n) merge the pow2 split design relies on."""
+    from fastkmer_tpu.ops import pallas_sort
+
+    rng = np.random.default_rng(11)
+    cols = _mk_cols(rng, n_keys, n_vals, N)
+    rows = np.stack(cols, 1)
+    half = N // 2
+    A, Bp = rows[:half], rows[half:]
+    A = A[np.lexsort([A[:, i] for i in reversed(range(n_keys))])]
+    Bp = Bp[np.lexsort([Bp[:, i] for i in reversed(range(n_keys))])][::-1]
+    inp = np.concatenate([A, Bp], 0)
+    out = pallas_sort.bitonic_merge(
+        tuple(jnp.asarray(np.ascontiguousarray(inp[:, i])) for i in range(len(cols))),
+        num_keys=n_keys, block=block, interpret=True,
+    )
+    out = [np.asarray(o) for o in out]
+    order = np.lexsort([rows[:, i] for i in reversed(range(n_keys))])
+    for i in range(n_keys):
+        assert np.array_equal(out[i], rows[order, i])
+    got = np.stack(out, 1)
+    assert np.array_equal(
+        got[np.lexsort(got.T[::-1])], rows[np.lexsort(rows.T[::-1])]
+    )
+
+
 def test_compact_marked_pallas_path_matches_lax():
     """compact_marked(pallas=True) must produce exactly what the lax path
     produces on a sorted marked run view (same block size, same stitch)."""

@@ -5,14 +5,18 @@ over a 16.8 Mbp genome), then measures:
 
   * native parse only          (fk_parse_fasta + fk_encode, Mbp/s)
   * ingest only                (parse + k-1 chunking + dense pack, Mbp/s)
-  * execute_job, spill regime  (acc_cap auto-sized BELOW the genome's
-    distinct count -> >= 2 host spills; write=1, full bin files + manifest)
+  * execute_job, spill regime  (acc_cap auto-sized to 2^24 ~= the genome's
+    distinct count -> periodic host spills; write=1, full bin files +
+    manifest)
   * execute_job, asserted      (unique_ub=genome: sync-free feed, no spill)
 
 Through the axon tunnel the spill regime is dominated by D2H table pulls
-(~134 MB per spill at 6-33 MB/s) and the per-batch room-check syncs
+(~268 MB per spill at 6-33 MB/s) and the per-batch room-check syncs
 (~0.6 s RTT each) — artifacts of the remote link; the asserted run is the
 representative on-hardware number (CLAUDE.md).  Both are reported.
+Default 0.35 Gbp keeps the tunnel-bound spill run to minutes; the
+machinery is size-independent (spill cadence ~ every 6-8 batches once the
+table cycles).
 
 Usage: python benchmarks/e2e_file.py [gbp] [--keep]
 Prints one JSON line per measurement; diagnostics to stderr.
@@ -66,7 +70,7 @@ def gen_fasta(path: str, gbp: float, rng) -> int:
 
 
 def main():
-    gbp = float(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1] != "--keep" else 1.0
+    gbp = float(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1] != "--keep" else 0.35
     keep = "--keep" in sys.argv
     import jax  # noqa: F401
 
@@ -115,10 +119,13 @@ def main():
     pipeline.DeviceAccumulator._spill = spy
     for name, ub in (("spill_regime", None), ("asserted_ub", GENOME)):
         spills["n"] = 0
+        # reads_per_batch 2048 -> 8.36M positions/batch -> auto acc_cap
+        # 2^24 ~= the genome's distinct count: the spill-regime run cycles
+        # fill -> spill every ~6-8 batches (bounded tunnel cost)
         cfg = JobConfig(
             dataset=fa, output_directory=work + "/", prefix=f"{name}_",
             k=K, m=M, max_b=B, write=True,
-            reads_per_batch=1024, read_len=4096,
+            reads_per_batch=2048, read_len=4096,
         )
         t0 = time.perf_counter()
         res = pipeline.execute_job(cfg, verbose=False, unique_ub=ub)

@@ -146,6 +146,7 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
             ctr.feed(codes, n_reads=nr, n_bases=nb, seq_ids=sids)
             if ckpt is not None and (i + 1) % ckpt.interval == 0:
                 ctr.spill()
+                ctr.materialize_spills(block=True)  # persist = landed
                 ckpt.save_spills(i + 1, ctr.host_spills[persisted:], persisted)
                 persisted = len(ctr.host_spills)
 

@@ -298,6 +298,7 @@ def execute_multiseq_job(
                     stats = acc._stats()
                     acc._raise_if_lost(stats)
                     acc._spill(stats)
+                    acc.materialize_spills(block=True)  # persist = landed
                     ckpt.save_spills(
                         batch_idx + 1, acc.host_spills[persisted:], persisted
                     )

@@ -233,6 +233,7 @@ def execute_job_distributed(
             if ckpt is not None and (i + 1) % ckpt.interval == 0:
                 with timer.span("checkpoint"):
                     ctr.spill()
+                    ctr.materialize_spills(block=True)  # persist = landed
                     ckpt.save_spills(i + 1, ctr.host_spills[persisted:], persisted)
                     persisted = len(ctr.host_spills)
         with timer.span("merge"):

@@ -324,6 +324,7 @@ class DistributedCounter:
                 self.state = self._init_state()
                 self._acc_ub = 0
                 self._wt_dev = 0  # pending is empty on this branch
+                self.materialize_spills(block=False)  # free landed spills
             else:
                 # a single batch exceeds acc_cap: the device overflow
                 # counter records the loss and finalize raises
@@ -459,8 +460,13 @@ class DistributedCounter:
         self.state = self._init_state()
         self._acc_ub = 0
         self._wt_dev = 0  # spilled weights left the device (pending is empty)
+        self.materialize_spills(block=False)  # free landed spills
 
     def _pull_tables(self, stats: dict) -> list:
+        """Per-chip table pulls, ASYNC: each chip's device slice is returned
+        with its D2H copy merely started; entries materialize to numpy
+        lazily (materialize_spills) so spills overlap the continuing feed
+        instead of stalling it for the whole transfer."""
         if not any(stats["n_unique"]):
             return []
         if self._stack is None:
@@ -476,12 +482,35 @@ class DistributedCounter:
             u = stats["n_unique"][c]
             if u == 0:
                 continue
-            tab = np.asarray(shard.data[0, :u])  # device-side slice, one transfer
-            parts.append(
-                (tab[:, : self.W], tab[:, self.W].astype(np.int64),
-                 tab[:, self.W + 1].astype(np.int32))
-            )
+            sl = shard.data[0, :u]  # device-side slice
+            try:
+                sl.copy_to_host_async()
+            except AttributeError:
+                pass
+            parts.append(sl)
         return parts
+
+    def _to_np_spill(self, arr) -> tuple:
+        tab = np.asarray(arr)
+        return (
+            tab[:, : self.W], tab[:, self.W].astype(np.int64),
+            tab[:, self.W + 1].astype(np.int32),
+        )
+
+    def materialize_spills(self, block: bool = True) -> None:
+        """Convert pending device-side spill slices to numpy tuples;
+        block=False converts only already-landed transfers.  Must be called
+        with block=True before persisting host_spills to a checkpoint."""
+        for i, s in enumerate(self.host_spills):
+            if isinstance(s, tuple):
+                continue
+            if not block:
+                try:
+                    if not s.is_ready():
+                        continue
+                except AttributeError:
+                    pass
+            self.host_spills[i] = self._to_np_spill(s)
 
     def finalize(self):
         """-> (words [U, W], counts [U], bins [U]) merged across chips.
@@ -497,6 +526,9 @@ class DistributedCounter:
         from .. import pipeline as base
 
         parts = self.host_spills + self._pull_tables(stats)
+        parts = [
+            p if isinstance(p, tuple) else self._to_np_spill(p) for p in parts
+        ]
         if not parts:
             return (
                 np.zeros((0, self.W), np.uint32),

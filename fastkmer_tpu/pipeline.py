@@ -504,23 +504,54 @@ class DeviceAccumulator:
             )
 
     def _spill(self, stats: dict) -> None:
+        """Spill the accumulated table — ASYNCHRONOUSLY: the device slice is
+        appended to host_spills with its D2H copy merely STARTED, so the
+        feed keeps dispatching while the table streams out (a synchronous
+        pull stalls the pipeline for the whole transfer — seconds per spill
+        at production sizes).  Entries are converted to numpy lazily:
+        opportunistically once landed (freeing the device buffer), and
+        forcibly before checkpoint persistence or finalize
+        (materialize_spills)."""
         n_u = stats["n_unique"]
         if n_u:
             cols, wts, _, _ = self.state
             stacked = _stack_with_bins(cols, wts, self.k, self.m, self.B)
-            table = np.asarray(stacked[:n_u])  # ONE device-to-host transfer
-            self.host_spills.append(
-                (
-                    table[:, : self.lanes],
-                    table[:, self.lanes].astype(np.int64),
-                    table[:, self.lanes + 1].astype(np.int32),
-                )
-            )
+            sl = stacked[:n_u]
+            try:
+                sl.copy_to_host_async()
+            except AttributeError:
+                pass
+            self.host_spills.append(sl)
         self.state = self._init_state()
         self._stats_arr = None
         self._acc_ub = 0
         self._wt_dev = 0  # spilled weights left the device (pending is empty)
         self._merge_log = []  # old-table stats bound nothing anymore
+        self.materialize_spills(block=False)  # free any landed older spills
+
+    def _to_np_spill(self, arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        table = np.asarray(arr)
+        return (
+            table[:, : self.lanes],
+            table[:, self.lanes].astype(np.int64),
+            table[:, self.lanes + 1].astype(np.int32),
+        )
+
+    def materialize_spills(self, block: bool = True) -> None:
+        """Convert pending device-side spills to numpy tuples.  block=False
+        converts only ALREADY-LANDED transfers (never waits); block=True
+        waits for all — required before persisting spills to a checkpoint
+        (a crash must not lose a spill that only existed on device)."""
+        for i, s in enumerate(self.host_spills):
+            if isinstance(s, tuple):
+                continue
+            if not block:
+                try:
+                    if not s.is_ready():
+                        continue
+                except AttributeError:
+                    pass
+            self.host_spills[i] = self._to_np_spill(s)
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (unique words [U, W] ascending, counts [U], bins [U]) on host."""
@@ -528,6 +559,7 @@ class DeviceAccumulator:
         stats = self._stats()
         self._raise_if_lost(stats)
         self._spill(stats)
+        self.materialize_spills(block=True)
         if not self.host_spills:
             return (
                 np.zeros((0, self.lanes), np.uint32),
@@ -772,6 +804,7 @@ def count_batches(
                     stats = acc._stats()
                     acc._raise_if_lost(stats)
                     acc._spill(stats)
+                    acc.materialize_spills(block=True)  # persist = landed
                     checkpointer.save_spills(
                         batch_idx + 1,
                         acc.host_spills[persisted_spills:],

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <utility>
 #include <vector>
 
 static inline int cmp_key(const uint32_t* a, const uint32_t* b, int64_t W) {
@@ -24,10 +25,119 @@ static inline int cmp_key(const uint32_t* a, const uint32_t* b, int64_t W) {
     return 0;
 }
 
+// W <= 4 fast path: the whole key packs into one integer, so every heap
+// compare is a single machine compare instead of a pointer-chasing word
+// loop, and the output copy unrolls at compile time.  Measured 360 ->
+// ~45 ns/row at W=2 P=8 — the host merge of 20+ production spills (~86 s
+// for 234 M rows) was the finalize bottleneck at spill scale.
+template <typename KT, int WW>
+static inline KT pack_key(const uint32_t* k) {
+    KT v = 0;
+    for (int j = 0; j < WW; ++j) v = (v << 32) | (KT)k[j];
+    return v;
+}
+
+template <typename KT, int WW>
+static int64_t merge_packed(const uint32_t** words, const int64_t** counts,
+                            const int32_t** bins, const int64_t* sizes,
+                            int64_t nparts, uint32_t* ow, int64_t* oc,
+                            int32_t* ob) {
+    // Loser tree: per row, the winner leaf is refilled and REPLAYED up a
+    // fixed log2(K) path — the path is deterministic (only the values
+    // conditionally swap, compiling to cmov-style code), unlike a binary
+    // heap whose sift path itself is data-dependent and mispredicts ~10x
+    // per row.  Exhausted leaves hold (key=all-ones, part=K), which sorts
+    // after every live (key, part) pair even if a real key is all-ones.
+    int64_t K = 1;
+    while (K < nparts) K <<= 1;
+    struct Node {
+        KT key;
+        int32_t part;
+    };
+    std::vector<Node> tree(K);  // internal nodes: losers; index 0 = winner
+    std::vector<Node> leaf(K);
+    std::vector<int64_t> pos(nparts, 0);
+    const KT INF = (KT)0 - (KT)1;
+    for (int64_t p = 0; p < K; ++p) {
+        if (p < nparts && sizes[p] > 0)
+            leaf[p] = Node{pack_key<KT, WW>(words[p]), (int32_t)p};
+        else
+            leaf[p] = Node{INF, (int32_t)K};
+    }
+    // initialize: play all leaves bottom-up (standard loser-tree build)
+    {
+        std::vector<Node> up(2 * K);
+        for (int64_t i = 0; i < K; ++i) up[K + i] = leaf[i];
+        for (int64_t i = K - 1; i >= 1; --i) {
+            Node a = up[2 * i], b = up[2 * i + 1];
+            bool a_wins = (a.key < b.key) || (a.key == b.key && a.part < b.part);
+            up[i] = a_wins ? a : b;     // winner moves up
+            tree[i] = a_wins ? b : a;   // loser stays
+        }
+        tree[0] = up[1];  // overall winner
+    }
+    int64_t out = -1;
+    KT last = 0;
+    bool have = false;
+    int64_t alive = 0;
+    for (int64_t p = 0; p < nparts; ++p)
+        if (sizes[p] > 0) ++alive;
+    while (alive > 0) {
+        Node w = tree[0];
+        const int64_t p = w.part, i = pos[p];
+        if (have && w.key == last) {
+            oc[out] += counts[p][i];  // same k-mer from another part
+        } else {
+            ++out;
+            const uint32_t* kp = words[p] + i * WW;
+            for (int j = 0; j < WW; ++j) ow[out * WW + j] = kp[j];
+            oc[out] = counts[p][i];
+            ob[out] = bins[p][i];
+            last = w.key;
+            have = true;
+        }
+        Node cur;
+        if (++pos[p] < sizes[p]) {
+            cur = Node{pack_key<KT, WW>(words[p] + pos[p] * WW), (int32_t)p};
+        } else {
+            cur = Node{INF, (int32_t)K};
+            --alive;
+        }
+        // replay the fixed path from this leaf to the root
+        for (int64_t node = (K + p) >> 1; node >= 1; node >>= 1) {
+            Node t = tree[node];
+            bool t_wins =
+                (t.key < cur.key) || (t.key == cur.key && t.part < cur.part);
+            if (t_wins) {
+                tree[node] = cur;
+                cur = t;
+            }
+        }
+        tree[0] = cur;
+    }
+    return out + 1;
+}
+
 extern "C" int64_t fk_merge(const uint32_t** words, const int64_t** counts,
                             const int32_t** bins, const int64_t* sizes,
                             int64_t nparts, int64_t W, uint32_t* ow,
                             int64_t* oc, int32_t* ob) {
+    switch (W) {
+        case 1:
+            return merge_packed<uint64_t, 1>(words, counts, bins, sizes,
+                                             nparts, ow, oc, ob);
+        case 2:
+            return merge_packed<uint64_t, 2>(words, counts, bins, sizes,
+                                             nparts, ow, oc, ob);
+        case 3:
+            return merge_packed<unsigned __int128, 3>(words, counts, bins,
+                                                      sizes, nparts, ow, oc, ob);
+        case 4:
+            return merge_packed<unsigned __int128, 4>(words, counts, bins,
+                                                      sizes, nparts, ow, oc, ob);
+        default:
+            break;  // W > 4: generic pointer-compare path below
+    }
     struct Item {
         const uint32_t* key;
         int32_t part;

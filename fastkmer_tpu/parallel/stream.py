@@ -325,6 +325,7 @@ class DistributedCounter:
                 self._acc_ub = 0
                 self._wt_dev = 0  # pending is empty on this branch
                 self.materialize_spills(block=False)  # free landed spills
+                self._bound_inflight()
             else:
                 # a single batch exceeds acc_cap: the device overflow
                 # counter records the loss and finalize raises
@@ -461,6 +462,7 @@ class DistributedCounter:
         self._acc_ub = 0
         self._wt_dev = 0  # spilled weights left the device (pending is empty)
         self.materialize_spills(block=False)  # free landed spills
+        self._bound_inflight()
 
     def _pull_tables(self, stats: dict) -> list:
         """Per-chip table pulls, ASYNC: each chip's device slice is returned
@@ -511,6 +513,19 @@ class DistributedCounter:
                 except AttributeError:
                     pass
             self.host_spills[i] = self._to_np_spill(s)
+
+    # at most this many SPILLS' worth of per-chip slices may be in flight
+    # (device buffers alive, D2H unlanded) before the next spill blocks on
+    # the oldest — unbounded pending spills would pin per-chip tables in
+    # HBM faster than a slow link drains them
+    MAX_INFLIGHT_SPILLS = 2
+
+    def _bound_inflight(self) -> None:
+        limit = self.MAX_INFLIGHT_SPILLS * self.n  # n slices per mesh spill
+        pend = [i for i, s in enumerate(self.host_spills)
+                if not isinstance(s, tuple)]
+        for i in pend[: max(0, len(pend) - limit)]:
+            self.host_spills[i] = self._to_np_spill(self.host_spills[i])
 
     def finalize(self):
         """-> (words [U, W], counts [U], bins [U]) merged across chips.

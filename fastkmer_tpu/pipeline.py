@@ -528,6 +528,7 @@ class DeviceAccumulator:
         self._wt_dev = 0  # spilled weights left the device (pending is empty)
         self._merge_log = []  # old-table stats bound nothing anymore
         self.materialize_spills(block=False)  # free any landed older spills
+        self._bound_inflight()
 
     def _to_np_spill(self, arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         table = np.asarray(arr)
@@ -552,6 +553,20 @@ class DeviceAccumulator:
                 except AttributeError:
                     pass
             self.host_spills[i] = self._to_np_spill(s)
+
+    # at most this many spills may be in flight (device buffers alive with
+    # their D2H copies unlanded) before the NEXT spill blocks on the oldest
+    # — unbounded pending spills would pin acc_cap-row buffers in HBM
+    # faster than a slow link drains them
+    MAX_INFLIGHT_SPILLS = 2
+
+    def _bound_inflight(self) -> None:
+        """Force-materialize oldest pending spills (FIFO transfer order)
+        until at most MAX_INFLIGHT_SPILLS device buffers remain alive."""
+        pend = [i for i, s in enumerate(self.host_spills)
+                if not isinstance(s, tuple)]
+        for i in pend[: max(0, len(pend) - self.MAX_INFLIGHT_SPILLS)]:
+            self.host_spills[i] = self._to_np_spill(self.host_spills[i])
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (unique words [U, W] ascending, counts [U], bins [U]) on host."""

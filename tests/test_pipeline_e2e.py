@@ -298,3 +298,47 @@ def test_device_accumulator_small_cap_spills(tmp_path, small_reads):
     np.testing.assert_array_equal(words, ref.words)
     np.testing.assert_array_equal(counts, ref.counts)
     np.testing.assert_array_equal(bins, ref.bins)
+
+
+def test_device_accumulator_spill_inflight_bound(tmp_path, small_reads,
+                                                 monkeypatch):
+    """Async spills must not pin unbounded device buffers: with the
+    opportunistic landing path disabled (simulating a link slower than the
+    spill cadence), pending un-materialized spills stay within
+    MAX_INFLIGHT_SPILLS and finalize still matches the host-merge path."""
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.ingest import batch as batching
+
+    fa = str(tmp_path / "reads.fa")
+    write_fasta(fa, small_reads)
+    k, m, B = 28, 10, 64
+
+    ref = pipeline.count_batches(
+        batching.batch_file(fa, 0, k, 16, 256), k, m, B, device_accumulate=False
+    )
+
+    orig = pipeline.DeviceAccumulator.materialize_spills
+
+    def lazy_only(self, block=True):
+        if block:
+            orig(self, block=True)
+
+    monkeypatch.setattr(pipeline.DeviceAccumulator, "materialize_spills",
+                        lazy_only)
+
+    import jax.numpy as jnp
+
+    acc = pipeline.DeviceAccumulator(k, fanin=1, m=m, B=B, acc_cap=1024)
+    max_pending = 0
+    for codes, _, _ in batching.batch_file(fa, 0, k, 4, 256):
+        acc.add_raw(pipeline._batch_extract_keys(jnp.asarray(codes), k, m, B, False))
+        pending = sum(1 for s in acc.host_spills if not isinstance(s, tuple))
+        max_pending = max(max_pending, pending)
+        assert pending <= acc.MAX_INFLIGHT_SPILLS
+    assert len(acc.host_spills) > acc.MAX_INFLIGHT_SPILLS, \
+        "workload too small to exercise the bound"
+    assert max_pending > 0, "opportunistic landing was not actually disabled"
+    words, counts, bins = acc.finalize()
+    np.testing.assert_array_equal(words, ref.words)
+    np.testing.assert_array_equal(counts, ref.counts)
+    np.testing.assert_array_equal(bins, ref.bins)

@@ -178,3 +178,46 @@ def test_streaming_counter_retry_disabled_raises(mesh8):
     ctr.feed(to_batch(random_reads(rng, 32, 100), 100))
     with pytest.raises(RuntimeError, match="exchange overflow"):
         ctr.finalize()
+
+
+def test_streaming_spill_inflight_bound(mesh8, monkeypatch):
+    """Async spills must not pin unbounded device buffers: with the
+    opportunistic (non-blocking) landing path disabled — simulating a link
+    slower than the spill cadence — the number of un-materialized spill
+    slices must stay within MAX_INFLIGHT_SPILLS * n after every feed, and
+    finalize must still produce the exact table."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    orig = stream.DistributedCounter.materialize_spills
+
+    def lazy_only(self, block=True):
+        if block:  # block=False (the opportunistic path) becomes a no-op
+            orig(self, block=True)
+
+    monkeypatch.setattr(stream.DistributedCounter, "materialize_spills",
+                        lazy_only)
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(29)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=2048, fanin=1,
+        owner_map=partitioner.hash_owner_map(B, 8),
+    )
+    limit = ctr.MAX_INFLIGHT_SPILLS * ctr.n
+    max_pending = 0
+    for _ in range(10):
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+        pending = sum(1 for s in ctr.host_spills if not isinstance(s, tuple))
+        max_pending = max(max_pending, pending)
+        assert pending <= limit
+    assert len(ctr.host_spills) > limit, "workload too small to exercise bound"
+    assert max_pending > 0, "opportunistic landing was not actually disabled"
+    words, counts, _bins = ctr.finalize()
+
+    expect = oracles.count_reads(all_reads, k)
+    kmers = bits.decode_words_batch(words, k)
+    got = {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
+    assert got == dict(expect)

@@ -123,8 +123,9 @@ def main(argv=None) -> int:
             res = execute_multiseq_job(
                 cfg, checkpoint_dir=args.checkpoint_dir,
                 checkpoint_interval=args.checkpoint_interval,
+                unique_ub=args.unique_ub,
             )
-            extra = {}
+            extra = {"sync_free_feed": args.unique_ub is not None}
         summary = {
             "mode": "multiseq",
             "mesh": args.mesh,
@@ -149,15 +150,14 @@ def main(argv=None) -> int:
                 checkpoint_dir=args.checkpoint_dir,
                 checkpoint_interval=args.checkpoint_interval,
                 unique_ub=args.unique_ub, keep_table=args.keep_table,
-                # 'on' is rejected by the driver (no mesh prededup yet);
-                # 'auto' resolves to off on the mesh — reported below
-                prededup={"auto": None, "on": True, "off": False}[args.prededup],
+                prededup=prededup,
             )
             extra = {
                 "exchange_bytes": res.exchange_bytes,
                 "balance": res.balance,
                 "sync_free_feed": args.unique_ub is not None,
-                "prededup": "off",  # mesh path has no per-batch dedup step
+                "prededup": args.prededup,
+                "n_dedup_batches": res.n_dedup_batches,
             }
         else:
             from .pipeline import execute_job

@@ -54,6 +54,16 @@ class DistanceMeasure:
         Return None to use the generic fallback."""
         return None
 
+    def bilinear_row_terms(self, c):
+        """Row form of ``bilinear_terms`` for the DEVICE Gram path
+        (multiseq.pipeline._pair_sums_device): given the jnp count column
+        of PRESENT rows only (c > 0), return [(f(c), g(c)), ...] such that
+        h(x, y) = sum_terms f(x) * g(y).  Elementwise jnp ops only — the
+        masked block-matmul kernel evaluates them per table row, never
+        materializing the dense [groups, S] matrix.  Return None when no
+        bilinear decomposition exists (the measure then runs host-side)."""
+        return None
+
     def finalize(self, dist: float, num_el: int) -> float:
         return dist
 
@@ -82,6 +92,9 @@ class SquaredEuclidean(DistanceMeasure):
     def bilinear_terms(self, C):
         # (x-y)^2 - x^2 - y^2 = -2xy
         return [(C, -2.0 * C)]
+
+    def bilinear_row_terms(self, c):
+        return [(c, -2.0 * c)]
 
 
 class KLDLog2(DistanceMeasure):
@@ -112,6 +125,14 @@ class KLDLog2(DistanceMeasure):
         logC = np.zeros_like(C)
         self._log(C, out=logC, where=present)
         return [(C * logC, present.astype(np.float64)), (C, -logC)]
+
+    def bilinear_row_terms(self, c):
+        import jax.numpy as jnp
+
+        log = jnp.log2 if self._log is np.log2 else jnp.log
+        # rows exist only where count > 0, so no DKL zero-guard is needed
+        lc = log(c)
+        return [(c * lc, jnp.ones_like(c)), (c, -lc)]
 
 
 class KLDLogN(KLDLog2):

@@ -18,21 +18,9 @@ from jax.sharding import Mesh
 
 from ..core.bits import num_words
 from ..parallel import exchange
+from .pipeline import _sequence_tag
 
 AXIS = exchange.AXIS
-
-
-def _sequence_tag(header: str) -> str:
-    """Sequence name from a read header: the leading word-character run,
-    matching the reference's ``"(\\w+)."`` extraction
-    (SparkMultiSequenceKmerCounter.scala:61-62) — SRA-style reads
-    ``SRR197985.1``, ``SRR197985.2`` tag the same sequence ``SRR197985``.
-    Chunk suffixes (``#i``) from long-mode splitting are stripped first."""
-    import re as _re
-
-    head = header.split("#")[0]
-    mobj = _re.match(r"(\w+)", head)
-    return mobj.group(1) if mobj else head.split()[0]
 
 
 def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,

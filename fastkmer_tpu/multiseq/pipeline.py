@@ -110,12 +110,96 @@ def _batch_extract_keys_seq(
     return cols + (jnp.where(valid, seq_col, ones),)
 
 
+# one compiled kernel per (measure, S, T): the measure's row terms are
+# closed over (elementwise jnp), so the whole block loop jits once
+_PAIR_JIT: dict = {}
+
+# auto-select the device Gram path above this much work (rows x S): below
+# it, dispatch overhead beats the matmul win (measured crossover:
+# benchmarks/distance_probe.py)
+_DEVICE_PAIR_MIN_WORK = 1 << 22
+
+
+def _pair_sums_device_fn(measure: dist_mod.DistanceMeasure, S: int, T: int = 2048):
+    """Build the jitted device pair-sum kernel: D[a, b] = sum over
+    same-k-mer ordered row pairs (i, j) of f(c_i) * g(c_j) at
+    [seq_i, seq_j] — the Gram accumulation of ``bilinear_terms`` WITHOUT
+    the dense [groups, S] matrix (whose construction is a scatter, which
+    serializes on TPU, and whose H2D shipping would dwarf the matmul).
+
+    Formulation: rows arrive sorted by (k-mer, seq) with (group, seq)
+    unique, so a group spans at most S consecutive rows.  Process T-row
+    blocks with an S-row halo on each side; per block the same-group mask
+    P = (gid_core == gid_window) is exact, and the S x S contribution is
+    two MXU matmuls: onehot_f.T @ (P @ onehot_g).  Every ordered pair is
+    anchored at its i row's core block, so nothing is double-counted.
+    O(N*(T+2S)*S) f32 MXU flops vs the host path's O(groups*S^2) f64 BLAS
+    — the device wins on raw rate once N*S amortizes dispatch
+    (auto-selection below; measured in benchmarks/distance_probe.py).
+
+    f32 caveat: exact for counts < 2^24; products accumulate in f32, so
+    the result matches the host f64 path to ~1e-6 relative — fine for
+    distance analytics, and the auto-path is gated on the count bound.
+
+    Reference semantics: the streaming pairwise accumulation of
+    extractKXmersAndComputePartialDistances
+    (SparkMultiSequenceKmerCounter.scala:446-520), reduced to matmuls.
+    """
+    key = (measure.name, S, T)
+    fn = _PAIR_JIT.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def pair_sums(gid: jnp.ndarray, seqs: jnp.ndarray, counts: jnp.ndarray):
+        N = gid.shape[0]
+        terms = measure.bilinear_row_terms(counts)
+        valid = gid >= 0
+        # mask AFTER evaluation: padded rows have count 0, where f may be
+        # nan (e.g. 0*log 0) — jnp.where selects the 0 branch regardless
+        terms = [
+            (jnp.where(valid, f, 0.0), jnp.where(valid, g, 0.0))
+            for f, g in terms
+        ]
+        ext_gid = jnp.pad(gid, (S, S), constant_values=-1)
+        ext_seq = jnp.pad(seqs, (S, S))
+        ext_g = [jnp.pad(g, (S, S)) for _, g in terms]
+        eye = jnp.arange(S, dtype=jnp.int32)
+
+        def body(D, b):
+            start = b * T
+            wgid = jax.lax.dynamic_slice(ext_gid, (start,), (T + 2 * S,))
+            wseq = jax.lax.dynamic_slice(ext_seq, (start,), (T + 2 * S,))
+            cgid = jax.lax.dynamic_slice(gid, (start,), (T,))
+            cseq = jax.lax.dynamic_slice(seqs, (start,), (T,))
+            Pm = (
+                (cgid[:, None] == wgid[None, :]) & (cgid[:, None] >= 0)
+            ).astype(jnp.float32)
+            for (f, _), g_ext in zip(terms, ext_g):
+                fc = jax.lax.dynamic_slice(f, (start,), (T,))
+                gw = jax.lax.dynamic_slice(g_ext, (start,), (T + 2 * S,))
+                Fo = fc[:, None] * (cseq[:, None] == eye[None, :])
+                Go = gw[:, None] * (wseq[:, None] == eye[None, :])
+                D = D + Fo.T @ (Pm @ Go)
+            return D, None
+
+        D, _ = jax.lax.scan(
+            body, jnp.zeros((S, S), jnp.float32),
+            jnp.arange(N // T, dtype=jnp.int32),
+        )
+        return D
+
+    _PAIR_JIT[key] = pair_sums
+    return pair_sums
+
+
 def accumulate_distances(
     words: np.ndarray,
     seqs: np.ndarray,
     counts: np.ndarray,
     S: int,
     measure: dist_mod.DistanceMeasure,
+    device: bool | None = None,
 ) -> np.ndarray:
     """D[a, b] = sum over distinct k-mers of partial(c_a, c_b), rows sorted
     by (k-mer, seq).
@@ -141,6 +225,29 @@ def accumulate_distances(
     kchange[0] = True
     np.any(words[1:] != words[:-1], axis=1, out=kchange[1:])
     gid = np.cumsum(kchange) - 1  # k-mer group id per row
+
+    # device Gram path (``device=None`` auto-selects): MXU matmuls over the
+    # table rows when the work amortizes dispatch and counts are f32-exact;
+    # explicit device=True/False overrides (measured crossover:
+    # benchmarks/distance_probe.py)
+    has_row = (
+        type(measure).bilinear_row_terms
+        is not dist_mod.DistanceMeasure.bilinear_row_terms
+    )
+    if device is None:
+        device = (
+            has_row
+            and jax.default_backend() != "cpu"
+            and U * S >= _DEVICE_PAIR_MIN_WORK
+            and float(counts.max(initial=0.0)) < float(1 << 24)
+        )
+    if device and has_row:
+        D = _pair_sums_from_device(gid, seqs, counts, S, measure)
+        zero = np.zeros_like(counts)
+        D += np.bincount(seqs, weights=measure.partial(counts, zero), minlength=S)[:, None]
+        D += np.bincount(seqs, weights=measure.partial(zero, counts), minlength=S)[None, :]
+        np.fill_diagonal(D, 0.0)
+        return D
 
     if measure.bilinear_terms(np.zeros((0, S), np.float64)) is not None:
         starts = np.flatnonzero(kchange)  # entry index of each group start
@@ -192,6 +299,26 @@ def accumulate_distances(
     D = joint_partial + (tot_a[:, None] - joint_single_a) + (tot_b[None, :] - joint_single_b)
     np.fill_diagonal(D, 0.0)
     return D
+
+
+def _pair_sums_from_device(gid, seqs, counts, S, measure, T: int = 2048):
+    """Host shim for the device kernel: pad the table to a T granule
+    (sentinel gid=-1 rows contribute 0), ship the three thin columns once
+    (N*12 bytes — vs the dense [groups, S] blocks the host path builds),
+    run the jitted block scan, pull back one [S, S] f32 matrix."""
+    assert S <= T, (S, T)
+    N = gid.shape[0]
+    Np = -(-N // T) * T
+    g = np.full(Np, -1, np.int32)
+    g[:N] = gid
+    sq = np.zeros(Np, np.int32)
+    sq[:N] = seqs
+    c = np.zeros(Np, np.float32)
+    c[:N] = counts
+    fn = _pair_sums_device_fn(measure, S, T)
+    return np.asarray(
+        fn(jnp.asarray(g), jnp.asarray(sq), jnp.asarray(c))
+    ).astype(np.float64)
 
 
 def _sequence_tag(header: str) -> str:
@@ -359,7 +486,7 @@ def _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure) -> None
     from ..output import manifest as manifest_mod
 
     uw, uc, ub = _sum_over_sequences(words, counts, bins)
-    writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
+    hashes = writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
     dpath = _write_distances(cfg.output_dir, pair_dist, measure)
     cfg_dict = {
         key: v for key, v in dataclasses.asdict(cfg).items() if not callable(v)
@@ -367,6 +494,7 @@ def _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure) -> None
     manifest_mod.write_manifest(
         cfg.output_dir, cfg_dict, uw, uc, ub,
         extra_files={"distances.json": manifest_mod.file_sha256(dpath)},
+        bin_hashes=hashes,
     )
 
 

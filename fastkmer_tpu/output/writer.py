@@ -30,17 +30,22 @@ def write_bin_files(
     k: int,
     eof_sentinel: bool = True,
     clean: bool = True,
-) -> int:
+) -> dict[int, str]:
     """Write unique k-mers grouped per bin.  ``words`` rows must be in
     ascending k-mer order (the device sort already guarantees this);
     a stable argsort on bins preserves that order within each bin.
-    Returns the number of bin files written.
+    Returns {bin id: sha256 of the file's bytes} — the hashes are computed
+    over data already in memory (one pass fused with the write) and feed
+    the manifest, so verify_output can detect CONTENT corruption, not just
+    missing lines (the per-bin success bookkeeping the reference only
+    gestured at, SparkBinKmerCounter.scala:608-639).
 
     With ``clean`` (the default), pre-existing ``bin*`` files are removed
     first: re-running a job into the same output directory must not leave
     stale bins behind (the manifest only checks bins the NEW run produced,
     so stale files would silently corrupt the directory's k-mer set).
     Partial rewrites (pipeline.repair_output) pass clean=False."""
+    import hashlib
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(out_dir, exist_ok=True)
@@ -49,7 +54,7 @@ def write_bin_files(
             if name.startswith("bin") and name[3:].isdigit():
                 os.remove(os.path.join(out_dir, name))
     if words.shape[0] == 0:
-        return 0
+        return {}
     order = np.argsort(bins, kind="stable")
     bins_s = bins[order]
     words_s = words[order]
@@ -57,6 +62,7 @@ def write_bin_files(
     uniq_bins, starts = np.unique(bins_s, return_index=True)
     bounds = np.append(starts, bins_s.shape[0])
     blist = uniq_bins.tolist()
+    hashes: list[str | None] = [None] * len(blist)
 
     def _write_one(bi: int) -> None:
         # per-bin format + IO parallelizes cleanly: the native formatter
@@ -65,10 +71,13 @@ def write_bin_files(
         # directory vs the serial loop.
         lo, hi = bounds[bi], bounds[bi + 1]
         lines = _format_lines(words_s[lo:hi], counts_s[lo:hi], k)
+        h = hashlib.sha256(lines)
         with open(os.path.join(out_dir, f"bin{blist[bi]}"), "wb") as f:
             f.write(lines)
             if eof_sentinel:
                 f.write(b"EOF")
+                h.update(b"EOF")
+        hashes[bi] = h.hexdigest()
 
     workers = min(8, os.cpu_count() or 1, len(blist))
     if workers > 1:
@@ -77,7 +86,7 @@ def write_bin_files(
     else:
         for bi in range(len(blist)):
             _write_one(bi)
-    return len(uniq_bins)
+    return {int(b): h for b, h in zip(blist, hashes)}
 
 
 def clean_output_dir(out_dir: str) -> None:

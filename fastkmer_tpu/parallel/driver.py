@@ -39,6 +39,7 @@ class DistributedResult(NamedTuple):
     balance: dict
     exchange_bytes: int
     timings: dict
+    n_dedup_batches: int = 0  # streaming: batches shipped via weighted dedup
 
 
 def _write_output(cfg: JobConfig, words, counts, bins, keep_table: bool = False) -> None:
@@ -60,10 +61,11 @@ def _write_output(cfg: JobConfig, words, counts, bins, keep_table: bool = False)
 
     p = jax.process_count()
     if p == 1:
-        writer.write_bin_files(cfg.output_dir, words, counts, bins, cfg.k,
-                               eof_sentinel=not cfg.use_ht)
+        hashes = writer.write_bin_files(cfg.output_dir, words, counts, bins,
+                                        cfg.k, eof_sentinel=not cfg.use_ht)
         manifest_mod.write_manifest(
-            cfg.output_dir, base.dataclasses_dict(cfg), words, counts, bins
+            cfg.output_dir, base.dataclasses_dict(cfg), words, counts, bins,
+            bin_hashes=hashes,
         )
         if keep_table:
             manifest_mod.write_table_sidecar(cfg.output_dir, words, counts, bins)
@@ -73,11 +75,11 @@ def _write_output(cfg: JobConfig, words, counts, bins, keep_table: bool = False)
     if jax.process_index() == 0:
         writer.clean_output_dir(cfg.output_dir)
     multihost.barrier("fastkmer:clean_output")
-    writer.write_bin_files(cfg.output_dir, words, counts, bins, cfg.k,
-                           eof_sentinel=not cfg.use_ht, clean=False)
+    hashes = writer.write_bin_files(cfg.output_dir, words, counts, bins, cfg.k,
+                                    eof_sentinel=not cfg.use_ht, clean=False)
     manifest_mod.write_manifest_shard(
         cfg.output_dir, base.dataclasses_dict(cfg), words, counts, bins,
-        jax.process_index(),
+        jax.process_index(), bin_hashes=hashes,
     )
     multihost.barrier("fastkmer:write_output")
     if jax.process_index() == 0:
@@ -110,14 +112,6 @@ def execute_job_distributed(
     import jax
 
     p = jax.process_count()
-    # no silent flag drops (VERDICT r2 weak #4): every accepted knob either
-    # takes effect on this path or errors
-    if prededup is True:
-        raise NotImplementedError(
-            "prededup is a single-chip count_batches feature; the mesh "
-            "streaming path has no per-batch dedup step yet — run with "
-            "prededup off (None/False) on --mesh"
-        )
     if keep_table and p > 1:
         raise NotImplementedError(
             "keep_table writes one full-table sidecar; on a multi-host mesh "
@@ -185,6 +179,14 @@ def execute_job_distributed(
         # form of extractKXmersHT's per-bin tables); the streaming deferred
         # accumulator is a sort-engine design
         streaming = not smer_transport and not cfg.use_ht
+    # no silent flag drops (VERDICT r2 weak #4): every accepted knob either
+    # takes effect on this path or errors.  Pre-exchange weighted dedup is
+    # a streaming-transport feature (parallel.stream module docstring)
+    if prededup is True and not streaming:
+        raise NotImplementedError(
+            "prededup requires the streaming mesh path (sort engine, k-mer "
+            "transport); the per-batch smer/HT paths have no dedup step"
+        )
     # k % 16 == 0: the bare sentinel is ambiguous, so a constant-zero seq
     # lane restores sentinel safety (the multiseq lane with a degenerate
     # id) — the streaming path then covers every k
@@ -197,7 +199,7 @@ def execute_job_distributed(
         ctr = stream.DistributedCounter(
             mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap,
             owner_map=owner_map, fanin=fanin, with_seq=flagged,
-            unique_ub=unique_ub,
+            unique_ub=unique_ub, prededup=prededup,
         )
         zero_sids = np.zeros(R // p, np.int32) if flagged else None
         # checkpoint/resume at merge boundaries: a forced spill every
@@ -248,6 +250,7 @@ def execute_job_distributed(
         return DistributedResult(
             words, counts, bins, int(counts.sum()), ctr.n_bases, ctr.n_reads,
             owner_map, balance, ctr.exchange_bytes, timer.as_dict(),
+            n_dedup_batches=ctr.n_dedup_batches,
         )
 
     def build_step(c: int):

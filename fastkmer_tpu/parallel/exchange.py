@@ -103,13 +103,21 @@ class ShardCounts(NamedTuple):
     collision: jnp.ndarray
 
 
-def route_by_owner(owner, valid, cols: tuple, n: int, cap: int):
+def route_by_owner(owner, valid, cols: tuple, n: int, cap: int,
+                   fills: tuple | None = None):
     """Group local rows by destination chip into [n*cap] buffers.
 
     ``cols`` is a tuple of 1-D arrays riding along; rows where ``valid`` is
     False are discarded.  Returns (routed cols tuple, ok uint32 [n*cap],
     n_dropped scalar).  Sort-based grouping (no data-dependent shapes): one
     1-key sort by owner, then a rank-computed scatter to strided slots.
+
+    ``fills`` (scalar per column) sets the value of UNFILLED slots (default
+    0).  Filling the sort sentinel / a zero weight directly makes the ok
+    lane redundant on sentinel-safe paths: the caller can then skip its
+    all_to_all entirely — one fewer uint32 lane per row over the
+    interconnect (the Spark shuffle ships no per-record validity bit
+    either; absence IS invalidity, SparkBinKmerCounter.scala:1035).
     """
     N = owner.shape[0]
     sort_key = jnp.where(valid, owner, n).astype(jnp.int32)
@@ -128,7 +136,12 @@ def route_by_owner(owner, valid, cols: tuple, n: int, cap: int):
     r = slot % cap
     src = jnp.clip(offsets[d] + r, 0, N - 1)
     ok = r < hist[d]
-    routed = tuple(jnp.where(ok, c[src], jnp.zeros((), c.dtype)) for c in scols)
+    if fills is None:
+        fills = tuple(jnp.zeros((), c.dtype) for c in scols)
+    routed = tuple(
+        jnp.where(ok, c[src], jnp.asarray(f, c.dtype))
+        for c, f in zip(scols, fills)
+    )
     buf_ok = jnp.where(ok, jnp.uint32(1), jnp.uint32(0))
     n_dropped = jnp.sum(jnp.maximum(hist - cap, 0))
     return routed, buf_ok, n_dropped
@@ -164,6 +177,7 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
     owner_arr = np.asarray(owner_map, dtype=np.int32)
     use_pallas = resolve_use_pallas(k, mesh, use_pallas)
     extract_step = _extract_fn(k, m, B, use_pallas, pallas_interpret)
+    sentinel_ok = count_sort.sentinel_safe_for(k)
 
     @partial(
         jax.shard_map,
@@ -183,11 +197,24 @@ def build_distributed_count(mesh: Mesh, k: int, m: int, B: int, cap: int, owner_
         owner = owner_tab[ex.bins]
         # no bin lane: the owner recomputes bins from the words it receives
         cols = tuple(ex.words[:, w] for w in range(W))
-        routed, bok, ndrop = route_by_owner(owner, ex.valid, cols, n, cap)
-        # exchange: row block [d*cap:(d+1)*cap) goes to chip d
-        recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
-        rw = jnp.stack(recv[:W], axis=1)
-        rok = recv[W] == jnp.uint32(1)
+        ones = jnp.uint32(0xFFFFFFFF)
+        if sentinel_ok:
+            # sentinel-fill the unfilled slots and pre-sentinel invalid
+            # rows' words, so the ok lane never crosses the interconnect
+            # (W lanes instead of W+1 per row)
+            cols = tuple(jnp.where(ex.valid, c, ones) for c in cols)
+            routed, _bok, ndrop = route_by_owner(
+                owner, ex.valid, cols, n, cap, fills=(ones,) * W
+            )
+            recv = [_all_to_all(c) for c in routed]
+            rw = jnp.stack(recv, axis=1)
+            rok = recv[W - 1] != ones
+        else:
+            routed, bok, ndrop = route_by_owner(owner, ex.valid, cols, n, cap)
+            # exchange: row block [d*cap:(d+1)*cap) goes to chip d
+            recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
+            rw = jnp.stack(recv[:W], axis=1)
+            rok = recv[W] == jnp.uint32(1)
         if use_ht:
             from ..ops import count_hash
 
@@ -243,16 +270,18 @@ def build_distributed_count_smer(
         sk, _ex = superkmer.group(codes, k, m, B, smax)
         owner = owner_tab[sk.bins]
         # records carry payload + run length only; bins are recomputed on
-        # the owner from the expanded words
+        # the owner from the expanded words.  Unfilled slots get n_kmers=0
+        # (expand emits zero valid k-mers from them), so no ok lane ships.
         cols = tuple(sk.payload[:, w] for w in range(PW)) + (sk.n_kmers,)
-        routed, bok, ndrop = route_by_owner(owner, sk.is_start, cols, n, cap)
-        recv = [_all_to_all(c) for c in routed] + [_all_to_all(bok)]
+        fills = (jnp.uint32(0xFFFFFFFF),) * PW + (jnp.zeros((), sk.n_kmers.dtype),)
+        routed, _bok, ndrop = route_by_owner(
+            owner, sk.is_start, cols, n, cap, fills=fills
+        )
+        recv = [_all_to_all(c) for c in routed]
         rpay = jnp.stack(recv[:PW], axis=1)  # [n*cap, PW]
-        rnk = recv[PW]
-        rok = recv[PW + 1] == jnp.uint32(1)
-        nk = jnp.where(rok, rnk, 0)
+        nk = recv[PW]
         kwords, kvalid, _kb = superkmer.expand(
-            rpay, nk, jnp.zeros_like(rnk), k, smax
+            rpay, nk, jnp.zeros_like(nk), k, smax
         )
         S, C, W = kwords.shape
         sc = count_sort.count_sorted(
@@ -276,14 +305,17 @@ def build_distributed_count_smer(
 def exchange_bytes_per_step(n: int, cap: int, k: int, smax: int | None = None) -> int:
     """Bytes crossing the interconnect per chip per step (shuffle-bytes
     accounting, a headline BASELINE.md metric).  Per-k-mer transport moves
-    W+2 uint32 lanes; super-k-mer transport moves smax/16+3 lanes."""
+    the W key words only when the sentinel is unambiguous (k % 16 != 0 —
+    unfilled slots ship as the sentinel, no ok lane), W+1 otherwise;
+    super-k-mer transport moves payload + n_kmers (unfilled slots ship
+    n_kmers=0)."""
     from ..core.bits import num_words
     from ..ops import superkmer
 
     if smax is None:
-        lanes = num_words(k) + 1  # words + ok (bins recomputed on the owner)
+        lanes = num_words(k) + (0 if count_sort.sentinel_safe_for(k) else 1)
     else:
-        lanes = superkmer.payload_words(smax) + 2  # payload + n_kmers + ok
+        lanes = superkmer.payload_words(smax) + 1  # payload + n_kmers
     return n * cap * lanes * 4
 
 

@@ -22,6 +22,20 @@ SparkBinKmerCounter.scala:1035): sorted-run merging instead of a JVM heap.
 Batching ``fanin`` exchanges per merge amortizes the big sort exactly like
 the reference amortizes its per-bin quicksort over a whole partition.
 
+Duplication-aware transport (``prededup``): the reference's shuffle payload
+is the super-k-mer — maximal same-signature runs shipped as one packed
+record (getSuperKmers, SparkBinKmerCounter.scala:34-169, shuffled at
+:1031-1036) — because shuffling ``run + k - 1`` bases beats shuffling
+``run`` full k-mers.  Shipping smer records here was measured and rejected
+(expansion padding multiplies merge-sort rows ~18x, CLAUDE.md); the same
+interconnect economics WITHOUT the padding is per-chip pre-exchange
+weighted dedup: count+route (k-mer words, weight) instead of raw
+per-position rows, cutting exchange lanes AND merge rows by the in-batch
+duplication factor.  Like the single-chip pipeline, the mode is adaptive
+(probe batches measure the in-batch distinct ratio; dedup engages when it
+drops below the threshold) — raw transport wins on low-duplication input
+because dedup pays one extra local sort per batch.
+
 The host only ever moves scalars (overflow counters, at merge boundaries at
 most) and pulls each chip's final stacked (words, count, bin) table once at
 the end — or, when the distinct-k-mer count outgrows ``acc_cap``, spills
@@ -29,7 +43,8 @@ the accumulator to the host at a merge boundary and keeps going, so any
 genome fits regardless of the device budget.
 
 Fixed capacities (TPU has no dynamic shapes): ``cap`` bounds per-(src,dst)
-exchange lanes, ``acc_cap`` bounds distinct k-mers held per chip; all
+exchange lanes (``cap_d`` its dedup-mode sibling, sized from the measured
+distinct ratio), ``acc_cap`` bounds distinct k-mers held per chip; all
 overflow is DETECTED via psum'd counters, never silent.
 
 Compaction back to acc_cap is block-local sorts + scan placement
@@ -66,6 +81,35 @@ class AccState(NamedTuple):
     overflow: jnp.ndarray  # [] int32 cumulative accumulator overflow
 
 
+class _Part(NamedTuple):
+    """One buffered exchange result awaiting the fan-in merge.
+
+    cols:  tuple of W [n, rows] uint32 key lanes (sentinel on dead slots)
+    wts:   [n, rows] int32 weights for dedup parts, None for raw parts
+           (raw rows weigh 1 where non-sentinel)
+    ndrop: [] replicated psum'd dropped-entry count of this exchange
+    """
+
+    cols: tuple
+    wts: jnp.ndarray | None
+    ndrop: jnp.ndarray
+
+
+class _PendingSpill:
+    """A spilled per-chip table slice whose D2H copy is in flight; ``chip``
+    lets the in-flight bound apply PER CHIP (under bin skew all pending
+    slices can come from one chip, and the bound exists to cap that chip's
+    pinned HBM — ADVICE r3).  Deliberately NOT a NamedTuple: materialized
+    spills are plain tuples, and callers distinguish the two states with
+    ``isinstance(s, tuple)``."""
+
+    __slots__ = ("data", "chip")
+
+    def __init__(self, data, chip: int):
+        self.data = data
+        self.chip = chip
+
+
 class DistributedCounter:
     """Multi-batch streaming counter over a 1-D mesh (k % 16 != 0).
 
@@ -86,12 +130,28 @@ class DistributedCounter:
                  verified once at finalize — asserted, never trusted.
                  The Spark analogue is the fire-and-forget shuffle write:
                  no ack per record, failure surfaces at stage end.
+    ``prededup`` pre-exchange weighted dedup (see module docstring).
+                 None (default) = adaptive: every PROBE_EVERY-th batch
+                 runs the dedup exchange regardless of mode; its psum'd
+                 distinct count is prefetched (no sync on a single
+                 process) and the mode follows the measured in-batch
+                 ratio.  True/False force the mode.  On a multi-host mesh
+                 the controller consumes probe scalars at DETERMINISTIC
+                 batch indices (a lagged, normally-landed materialize):
+                 every process sees the same replicated value at the same
+                 batch, so the collective program sequence stays in
+                 lockstep.
     """
+
+    PROBE_EVERY = 16
+    ENGAGE_BELOW = 0.20  # same threshold as the single-chip adaptive probe
+    PROBE_LAG = 16  # batches before a probe scalar is consumed (multi-host)
 
     def __init__(self, mesh: Mesh, k: int, m: int, B: int, cap: int, acc_cap: int,
                  owner_map: np.ndarray, fanin: int = 4, with_seq: bool = False,
                  use_pallas: bool | None = None, pallas_interpret: bool = False,
-                 retry_on_overflow: bool = True, unique_ub: int | None = None):
+                 retry_on_overflow: bool = True, unique_ub: int | None = None,
+                 prededup: bool | None = None):
         assert count_sort.sentinel_safe_for(k) or with_seq, (
             "streaming counter needs k % 16 != 0 (or a seq lane, which is "
             "itself sentinel-safe)"
@@ -105,10 +165,14 @@ class DistributedCounter:
         self.cap = cap
         self.assume_fits = unique_ub is not None
         if unique_ub is not None:
-            # next 64Ki granule with ~6% headroom (bins partition k-mers
-            # across chips, so any one chip holds <= the global bound)
+            # next 64Ki granule + 2 granules of slack (the single-chip
+            # rule, pipeline.DeviceAccumulator): bins partition k-mers
+            # across chips so any one chip holds <= the global bound.  The
+            # slack is granules, not a % headroom — a 6% headroom pushed
+            # the merge window past the pow2 and cost 21% of the sort
+            # (split_merge_probe.py; VERDICT r3 weak #4)
             acc_cap = max(
-                acc_cap, -(-int(unique_ub * 1.0625) // (1 << 16)) * (1 << 16)
+                acc_cap, (-(-int(unique_ub) // (1 << 16)) + 2) * (1 << 16)
             )
         self.acc_cap = acc_cap
         self.fanin = fanin
@@ -119,14 +183,16 @@ class DistributedCounter:
         self._use_pallas = use_pallas
         self._pallas_interpret = pallas_interpret
         self._exchange = self._build_exchange()
+        self._exchange_dedup = None  # built on first dedup/probe dispatch
         self._merge_cache: dict[tuple, callable] = {}
         self._stack = None  # built lazily (first table pull)
         self.state = self._init_state()
-        self.pending: list = []  # [(cols tuple [n, n*cap], ndrop)]
-        self.host_spills: list = []  # (words, counts, bins) np arrays
+        self.pending: list[_Part] = []
+        self.host_spills: list = []  # _PendingSpill | (words, counts, bins)
         self._acc_ub = 0  # conservative upper bound on per-chip uniques
         self._pend_ub = 0  # conservative upper bound on pending new uniques
         self._wt_dev = 0  # bound on total instance weight on device
+        self.rows = 0  # per-chip rows buffered in pending parts
         self.n_bases = 0
         self.n_reads = 0
         self.retry_on_overflow = retry_on_overflow
@@ -134,6 +200,14 @@ class DistributedCounter:
         self._cap_limit = cap  # grows with observed per-src positions
         self.exchange_bytes = 0  # cumulative bytes crossing the interconnect
         self.n_retries = 0
+        # --- adaptive pre-exchange dedup state ---
+        self.prededup = prededup
+        self.cap_d = cap  # dedup-mode per-(src,dst) capacity (pow2-quantized)
+        self._dedup_mode = prededup is True
+        self._batch_i = 0
+        self.n_dedup_batches = 0
+        self._probe_pending: list = []  # (consume_at, positions, n_u scalar)
+        self._multihost = jax.process_count() > 1
 
     def _init_state(self) -> AccState:
         # built ON DEVICE: device_put of host sentinel padding ships
@@ -162,7 +236,12 @@ class DistributedCounter:
     # per-batch exchange: extract -> route -> all_to_all (NO sort/count) #
     # ------------------------------------------------------------------ #
     def _build_exchange(self):
-        k, m, B, n, cap = self.k, self.m, self.B, self.n, self.cap
+        """Raw transport: one [n*cap] lane per key word per (src,dst).
+        Dead slots (invalid positions, unfilled capacity) ship AS the
+        sentinel — no ok lane crosses the interconnect (route_by_owner
+        fills), so the per-row cost is W uint32, matching the payload the
+        Spark shuffle would serialize (words only)."""
+        k, n, cap = self.k, self.n, self.cap
         Wk, W, with_seq = self.Wk, self.W, self.with_seq
         in_specs = (P(AXIS, None), P(AXIS), P()) if with_seq else (P(AXIS, None), P())
 
@@ -177,6 +256,51 @@ class DistributedCounter:
             owner_tab = rest[-1]
             ex = self._extract(codes)
             owner = owner_tab[ex.bins]
+            cols = [ex.words[:, w] for w in range(Wk)]
+            if with_seq:
+                R, L = codes.shape
+                Pp = L - k + 1
+                seq_col = jnp.broadcast_to(
+                    rest[0][:, None].astype(jnp.uint32), (R, Pp)
+                ).reshape(R * Pp)
+                cols.append(seq_col)
+            routed, _bok, ndrop = exchange.route_by_owner(
+                owner, ex.valid, tuple(cols), n, cap, fills=(_ONES,) * W
+            )
+            recv = [exchange._all_to_all(c) for c in routed]
+            return tuple(c[None] for c in recv), jax.lax.psum(ndrop, AXIS)
+
+        jitted = jax.jit(ex_step)
+        owner_arr = self.owner
+        if with_seq:
+            return lambda codes, seq_ids: jitted(codes, seq_ids, owner_arr)
+        return lambda codes, seq_ids=None: jitted(codes, owner_arr)
+
+    def _build_exchange_dedup(self):
+        """Dedup transport: per chip, count this batch's positions locally
+        (ONE extra W-key sort), then route (k-mer words, int32 weight) for
+        the unique rows only — the weight lane takes the slot the ok lane
+        used to burn, and ``cap_d`` tracks the distinct share instead of
+        the position share.  Also returns the psum'd distinct count, the
+        adaptive controller's signal.  This is the mesh form of the
+        reference's super-k-mer shuffle compression
+        (SparkBinKmerCounter.scala:34-169, :1031-1036): same
+        interconnect-bytes economics, none of the expansion padding."""
+        k, m, B, n = self.k, self.m, self.B, self.n
+        cap_d = self.cap_d
+        Wk, W, with_seq = self.Wk, self.W, self.with_seq
+        in_specs = (P(AXIS, None), P(AXIS), P()) if with_seq else (P(AXIS, None), P())
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=(tuple(P(AXIS) for _ in range(W)), P(AXIS), P(), P()),
+            check_vma=self._check_vma,
+        )
+        def ex_step(codes, *rest):
+            owner_tab = rest[-1]
+            ex = self._extract(codes)
             cols = [jnp.where(ex.valid, ex.words[:, w], _ONES) for w in range(Wk)]
             if with_seq:
                 R, L = codes.shape
@@ -185,41 +309,61 @@ class DistributedCounter:
                     rest[0][:, None].astype(jnp.uint32), (R, Pp)
                 ).reshape(R * Pp)
                 cols.append(jnp.where(ex.valid, seq_col, _ONES))
-            routed, bok, ndrop = exchange.route_by_owner(
-                owner, ex.valid, tuple(cols), n, cap
+            sc = count_sort.count_presentineled(cols)
+            # bins are recomputed from the sorted unique words (binhash
+            # convention: never carried through sorts); sentinel rows get
+            # an arbitrary owner but is_uniq excludes them from routing
+            bins = binhash.bins_from_words(sc.words[:, :Wk], k, m, B)
+            owner = owner_tab[bins]
+            rcols = tuple(sc.words[:, w] for w in range(W)) + (sc.counts,)
+            fills = (_ONES,) * W + (jnp.int32(0),)
+            routed, _bok, ndrop = exchange.route_by_owner(
+                owner, sc.is_uniq, rcols, n, cap_d, fills=fills
             )
-            recv = [exchange._all_to_all(c) for c in routed] + [exchange._all_to_all(bok)]
-            rok = recv[W] == jnp.uint32(1)
-            # sentinel the unfilled slots so the merge can weigh rows by
-            # sentinel-test alone (no ok lane buffered)
-            rcols = [jnp.where(rok, recv[w], _ONES) for w in range(W)]
-            return tuple(c[None] for c in rcols), jax.lax.psum(ndrop, AXIS)
+            recv = [exchange._all_to_all(c) for c in routed]
+            # sum of PER-CHIP local distinct counts (cross-chip duplicates
+            # are not collapsed until the merge): n_u / positions is
+            # exactly the row-compression factor this transport achieves,
+            # which is what the adaptive threshold should measure
+            n_u = jax.lax.psum(jnp.sum(sc.is_uniq.astype(jnp.int32)), AXIS)
+            return (
+                tuple(c[None] for c in recv[:W]),
+                recv[W][None],
+                jax.lax.psum(ndrop, AXIS),
+                n_u,
+            )
 
         jitted = jax.jit(ex_step)
         owner_arr = self.owner
         if with_seq:
             return lambda codes, seq_ids: jitted(codes, seq_ids, owner_arr)
-        return lambda codes: jitted(codes, owner_arr)
+        return lambda codes, seq_ids=None: jitted(codes, owner_arr)
 
     # ------------------------------------------------------------------ #
     # merge: pending parts + accumulator -> accumulator                  #
     # ------------------------------------------------------------------ #
-    def _build_merge(self, nparts: int):
+    def _build_merge(self, part_descs: tuple):
+        """``part_descs``: per pending part, (rows per chip, has_weights).
+        Raw parts weigh 1 per non-sentinel row; dedup parts carry their
+        routed int32 weight lane."""
         n, acc_cap, W = self.n, self.acc_cap, self.W
-        n_rows = nparts * n * self.cap + acc_cap
+        n_rows = sum(r for r, _ in part_descs) + acc_cap
         cap_in = -(-n_rows // (1 << 16)) * (1 << 16)  # 64Ki granules, bounded compiles
         # pad to a power of two when within 10%: lax.sort at pow2 row
         # counts measured 21% cheaper per element (split_merge_probe.py)
         p2 = 1 << (n_rows - 1).bit_length()
         if p2 <= n_rows * 1.10:
             cap_in = max(cap_in, p2)
-        specs_part = tuple(tuple(P(AXIS) for _ in range(W)) for _ in range(nparts))
+        specs_part = tuple(
+            tuple(P(AXIS) for _ in range(W + (1 if hw else 0)))
+            for _, hw in part_descs
+        )
         acc_spec = AccState(P(AXIS), P(AXIS), P(), P(), P())
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(specs_part, tuple(P() for _ in range(nparts)), acc_spec),
+            in_specs=(specs_part, tuple(P() for _ in part_descs), acc_spec),
             out_specs=acc_spec,
         )
         def merge(parts, ndrops, acc: AccState) -> AccState:
@@ -230,12 +374,19 @@ class DistributedCounter:
                 if pad:
                     segs.append(jnp.full(pad, _ONES, jnp.uint32))
                 mcols.append(jnp.concatenate(segs))
-            # received rows weigh 1, accumulated uniques weigh their count
-            part_valid = jnp.concatenate([p[W - 1][0] for p in parts]) != _ONES
-            wts = jnp.concatenate(
-                [part_valid.astype(jnp.int32), acc.wts[0]]
-                + ([jnp.zeros(pad, jnp.int32)] if pad else [])
-            )
+            # raw rows weigh 1 where non-sentinel; dedup rows carry their
+            # routed weights (0 on dead slots); accumulated uniques their
+            # counts
+            wsegs = []
+            for p, (_, hw) in zip(parts, part_descs):
+                if hw:
+                    wsegs.append(p[W][0])
+                else:
+                    wsegs.append((p[W - 1][0] != _ONES).astype(jnp.int32))
+            wsegs.append(acc.wts[0])
+            if pad:
+                wsegs.append(jnp.zeros(pad, jnp.int32))
+            wts = jnp.concatenate(wsegs)
             # all inputs are pre-sentineled with zero weights on sentinel
             # rows — skip count_sorted's validity rewrite pass entirely
             sc = count_sort.count_presentineled(mcols, weights=wts)
@@ -283,15 +434,20 @@ class DistributedCounter:
         # skip it; the accumulated state.dropped raises at finalize
         if self.retry_on_overflow and not self.assume_fits:
             self._retry_window_if_dropped()
-        nparts = len(self.pending)
-        key = (nparts, self.cap)
-        if key not in self._merge_cache:
-            self._merge_cache[key] = self._build_merge(nparts)
-        parts = tuple(p[0] for p in self.pending)
-        ndrops = tuple(p[1] for p in self.pending)
-        self.state = self._merge_cache[key](parts, ndrops, self.state)
+        descs = tuple(
+            (int(p.cols[0].shape[-1]), p.wts is not None) for p in self.pending
+        )
+        if descs not in self._merge_cache:
+            self._merge_cache[descs] = self._build_merge(descs)
+        parts = tuple(
+            p.cols + ((p.wts,) if p.wts is not None else ())
+            for p in self.pending
+        )
+        ndrops = tuple(p.ndrop for p in self.pending)
+        self.state = self._merge_cache[descs](parts, ndrops, self.state)
         self.pending = []
         self._window = []
+        self.rows = 0
         self._acc_ub = min(self._acc_ub + self._pend_ub, self.acc_cap)
         self._pend_ub = 0
         # start the counters' D2H copies NOW (hides tunnel round trips if
@@ -331,6 +487,52 @@ class DistributedCounter:
                 # counter records the loss and finalize raises
                 break
 
+    # ------------------------------------------------------------------ #
+    # adaptive dedup controller                                          #
+    # ------------------------------------------------------------------ #
+    def _consume_probes(self) -> None:
+        """Apply landed probe/dedup distinct-ratio measurements to the
+        transport mode and ``cap_d``.  Single-process: non-blocking
+        (is_ready polling, like the single-chip pipeline).  Multi-host:
+        scalars are consumed at their scheduled batch index with a
+        blocking materialize — the value is a replicated psum (identical
+        on every process) and by then PROBE_LAG batches old (normally long
+        landed), so every process switches modes at the same batch and the
+        collective program sequence stays in lockstep."""
+        if self.prededup is not None:
+            self._probe_pending.clear()
+            return
+        while self._probe_pending:
+            consume_at, pos, arr = self._probe_pending[0]
+            if self._multihost:
+                if self._batch_i < consume_at:
+                    break
+            else:
+                try:
+                    if not arr.is_ready():
+                        break
+                except AttributeError:
+                    pass
+            self._probe_pending.pop(0)
+            ratio = int(np.asarray(arr)) / max(pos, 1)
+            self._dedup_mode = ratio < self.ENGAGE_BELOW
+            if self._dedup_mode:
+                self._retune_cap_d(ratio)
+
+    def _retune_cap_d(self, ratio: float) -> None:
+        """Size the dedup-mode exchange capacity from the measured distinct
+        ratio: distinct rows per (src,dst) shrink with the position share,
+        so cap_d ~ cap * ratio * slack, pow2-quantized (bounded compile
+        set), floored, never above the raw cap.  Growth beyond the target
+        (a mid-run duplication shift) is covered by the drop-detect +
+        retry-at-doubled-cap machinery, same as the raw path."""
+        target = max(512, int(self.cap * min(1.0, ratio) * 2.0))
+        target = 1 << (target - 1).bit_length()
+        target = min(target, self.cap)
+        if target != self.cap_d:
+            self.cap_d = target
+            self._exchange_dedup = None  # rebuild at the new capacity
+
     def feed(self, codes: np.ndarray, n_reads: int = 0, n_bases: int = 0,
              seq_ids: np.ndarray | None = None) -> None:
         """Dispatch one batch's exchange.  ``codes``/``seq_ids`` may be
@@ -339,55 +541,101 @@ class DistributedCounter:
         R, L = codes.shape
         # multi-host: codes is this process's stripe; bounds are global
         R = R * jax.process_count()
-        # per-chip new-unique bound: a chip cannot receive more rows than
-        # its n*cap exchange lanes hold, nor more than the batch contains
-        positions = min(R * max(L - self.k + 1, 0), self.n * self.cap)
+        positions = R * max(L - self.k + 1, 0)
         if self._wt_dev + positions > _WT_LIMIT:
             # int32 run-total wrap guard — applies even under assume_fits
             # (it bounds weights, not capacity); forces one host spill per
             # ~2^31 instances, so the guard never shows up in steady state
             self.spill()
+        self._consume_probes()
+        if self.prededup is True:
+            use_dedup = True
+        elif self.prededup is False:
+            use_dedup = False
+        else:
+            use_dedup = (
+                self._dedup_mode or self._batch_i % self.PROBE_EVERY == 0
+            )
+        mode_cap = self.cap_d if use_dedup else self.cap
+        # per-chip new-unique bound: a chip cannot receive more rows than
+        # its n*cap exchange lanes hold, nor more than the batch contains
+        uniq_charge = min(positions, self.n * mode_cap)
         if not self.assume_fits:
-            self._ensure_room(positions)
+            self._ensure_room(uniq_charge)
+        if len(self.pending) >= max(2, self.fanin - 2):
+            # pow2 merge scheduling (VERDICT r3 weak #4, the single-chip
+            # DeviceAccumulator._append trigger): when the buffered rows +
+            # accumulator sit just under a power of two and this part
+            # would cross it, merge NOW — lax.sort at a pow2 row count is
+            # 21% cheaper per element (split_merge_probe.py; _build_merge
+            # pads the <=10% remainder).  Gated on a near-full window so
+            # the pow2 bonus never trades away fan-in amortization
+            cur = self.rows + self.acc_cap
+            p2 = 1 << (cur - 1).bit_length()
+            if p2 <= cur * 1.10 and cur + self.n * mode_cap > p2:
+                self._merge_pending()
         sharded = exchange.shard_batch(self.mesh, codes)
         sids = None
         if self.with_seq:
             sids = exchange.shard_vector(
                 self.mesh, np.asarray(seq_ids, dtype=np.int32)
             )
-        self._dispatch(sharded, sids)
+        self._dispatch(sharded, sids, use_dedup, positions)
         # retry needs the (immutable) device inputs and per-src extraction
         # bound; per-src rows also bound how far cap can usefully grow
         src_positions = (-(-R // self.n)) * max(L - self.k + 1, 0)
         if not self.assume_fits:  # sync-free mode never replays a window
-            self._window.append((sharded, sids, R * max(L - self.k + 1, 0)))
+            self._window.append((sharded, sids, positions, use_dedup))
         self._cap_limit = max(self._cap_limit, src_positions)
-        self._pend_ub += positions
+        self._pend_ub += uniq_charge
+        # dedup rows carry weights > 1, so the weight charge is the full
+        # batch position count in both modes (conservative for raw, where
+        # it was previously clipped at the lane capacity)
         self._wt_dev += positions
         self.n_reads += n_reads
         self.n_bases += n_bases
+        self._batch_i += 1
         if len(self.pending) >= self.fanin:
             self._merge_pending()
 
-    def _dispatch(self, sharded, sids) -> None:
-        if self.with_seq:
-            self.pending.append(self._exchange(sharded, sids))
+    def _dispatch(self, sharded, sids, use_dedup: bool, positions: int) -> None:
+        if use_dedup:
+            if self._exchange_dedup is None:
+                self._exchange_dedup = self._build_exchange_dedup()
+            cols, wts, ndrop, n_u = self._exchange_dedup(sharded, sids)
+            self.pending.append(_Part(cols, wts, ndrop))
+            self.rows += self.n * self.cap_d
+            self.n_dedup_batches += 1
+            # W key lanes + the int32 weight lane — the ok lane folded
+            # into the sentinel, so dedup adds one lane but multiplies by
+            # the (much smaller) distinct capacity
+            self.exchange_bytes += self.n * self.cap_d * (self.W + 1) * 4
+            if self.prededup is None:
+                try:
+                    n_u.copy_to_host_async()
+                except AttributeError:
+                    pass
+                self._probe_pending.append(
+                    (self._batch_i + self.PROBE_LAG, positions, n_u)
+                )
         else:
-            self.pending.append(self._exchange(sharded))
-        # PER-CHIP bytes per step (key lanes + ok lane), the one definition
-        # shared with exchange.exchange_bytes_per_step — the per-batch
-        # driver path accumulates the same quantity, so
-        # DistributedResult.exchange_bytes means one thing regardless of
-        # ``streaming`` (VERDICT r2 weak #7)
-        self.exchange_bytes += self.n * self.cap * (self.W + 1) * 4
+            cols, ndrop = self._exchange(sharded, sids)
+            self.pending.append(_Part(cols, None, ndrop))
+            self.rows += self.n * self.cap
+            # key lanes only: dead slots ship as the sentinel, no ok lane
+            # (exchange.route_by_owner fills) — the one definition shared
+            # with exchange.exchange_bytes_per_step
+            self.exchange_bytes += self.n * self.cap * self.W * 4
 
     def _retry_window_if_dropped(self) -> None:
         """Exchange-overflow recovery (the moral equivalent of Spark
         spilling): pull the window's psum'd dropped counters (one small
         transfer — the merge would wait on the newest exchange anyway) and,
-        if any entry was dropped, rebuild the exchange at doubled capacity
-        and replay the retained window inputs.  Capacity is clipped at the
-        per-src worst case, where overflow is impossible by construction.
+        if any entry was dropped, rebuild the overflowed exchange(s) at
+        doubled capacity and replay the retained window inputs (each with
+        its original transport mode).  Capacity is clipped at the per-src
+        worst case, where overflow is impossible by construction (distinct
+        rows <= positions, so the same clip bounds cap_d).
 
         The replay re-runs the feed-time CAPACITY checks per batch: the
         doubled cap raises each replayed batch's per-chip unique bound, so
@@ -399,30 +647,45 @@ class DistributedCounter:
         exactly that prefix at all times, so a nested retry replays a
         consistent set."""
         while True:
-            drops = np.asarray(jnp.stack([p[1] for p in self.pending]))
+            drops = np.asarray(jnp.stack([p.ndrop for p in self.pending]))
             if int(drops.sum()) == 0:
                 return
-            if self.cap >= self._cap_limit:
+            dropped_modes = {
+                p.wts is not None
+                for p, d in zip(self.pending, drops.tolist())
+                if int(d)
+            }
+            raw_dropped = False in dropped_modes
+            dedup_dropped = True in dropped_modes
+            if (raw_dropped and self.cap >= self._cap_limit) or (
+                dedup_dropped and self.cap_d >= self._cap_limit
+            ):
                 raise RuntimeError(
                     f"exchange overflow at worst-case cap={self.cap}: "
                     f"{int(drops.sum())} entries dropped"
                 )
-            self.cap = min(self.cap * 2, self._cap_limit)
+            if raw_dropped:
+                self.cap = min(self.cap * 2, self._cap_limit)
+                self._exchange = self._build_exchange()
+            if dedup_dropped:
+                self.cap_d = min(self.cap_d * 2, self._cap_limit)
+                self._exchange_dedup = None
             self.n_retries += 1
-            self._exchange = self._build_exchange()
             window = self._window
             self.pending = []
             self._window = []
             self._pend_ub = 0
-            for sharded, sids, pos in window:
-                positions = min(pos, self.n * self.cap)
+            self.rows = 0
+            for sharded, sids, pos, use_dedup in window:
+                mode_cap = self.cap_d if use_dedup else self.cap
+                uniq_charge = min(pos, self.n * mode_cap)
                 # fresh conservative charge; the original feed's (smaller)
                 # charge stays — overcounting _wt_dev only spills earlier
-                self._wt_dev += positions
-                self._ensure_room(positions)
-                self._dispatch(sharded, sids)
-                self._window.append((sharded, sids, pos))
-                self._pend_ub += positions
+                self._wt_dev += pos
+                self._ensure_room(uniq_charge)
+                self._dispatch(sharded, sids, use_dedup, pos)
+                self._window.append((sharded, sids, pos, use_dedup))
+                self._pend_ub += uniq_charge
 
     def _stats(self) -> dict:
         """Counters of merges completed so far (pending parts excluded);
@@ -489,11 +752,11 @@ class DistributedCounter:
                 sl.copy_to_host_async()
             except AttributeError:
                 pass
-            parts.append(sl)
+            parts.append(_PendingSpill(sl, c))
         return parts
 
-    def _to_np_spill(self, arr) -> tuple:
-        tab = np.asarray(arr)
+    def _to_np_spill(self, s) -> tuple:
+        tab = np.asarray(s.data if isinstance(s, _PendingSpill) else s)
         return (
             tab[:, : self.W], tab[:, self.W].astype(np.int64),
             tab[:, self.W + 1].astype(np.int32),
@@ -504,28 +767,33 @@ class DistributedCounter:
         block=False converts only already-landed transfers.  Must be called
         with block=True before persisting host_spills to a checkpoint."""
         for i, s in enumerate(self.host_spills):
-            if isinstance(s, tuple):
+            if not isinstance(s, _PendingSpill):
                 continue
             if not block:
                 try:
-                    if not s.is_ready():
+                    if not s.data.is_ready():
                         continue
                 except AttributeError:
                     pass
             self.host_spills[i] = self._to_np_spill(s)
 
-    # at most this many SPILLS' worth of per-chip slices may be in flight
-    # (device buffers alive, D2H unlanded) before the next spill blocks on
-    # the oldest — unbounded pending spills would pin per-chip tables in
-    # HBM faster than a slow link drains them
+    # at most this many SPILLS' worth of slices may be in flight PER CHIP
+    # (device buffers alive, D2H unlanded) before older slices are
+    # force-materialized — per chip, because under bin skew every pending
+    # slice can sit on one chip, and the bound exists to cap the pinned
+    # acc_cap-row buffers in that chip's HBM (ADVICE r3).  The bound holds
+    # after each spill completes (post-append): a spill may transiently
+    # observe MAX+1 inside _bound_inflight before the oldest lands.
     MAX_INFLIGHT_SPILLS = 2
 
     def _bound_inflight(self) -> None:
-        limit = self.MAX_INFLIGHT_SPILLS * self.n  # n slices per mesh spill
-        pend = [i for i, s in enumerate(self.host_spills)
-                if not isinstance(s, tuple)]
-        for i in pend[: max(0, len(pend) - limit)]:
-            self.host_spills[i] = self._to_np_spill(self.host_spills[i])
+        by_chip: dict[int, list[int]] = {}
+        for i, s in enumerate(self.host_spills):
+            if isinstance(s, _PendingSpill):
+                by_chip.setdefault(s.chip, []).append(i)
+        for pend in by_chip.values():
+            for i in pend[: max(0, len(pend) - self.MAX_INFLIGHT_SPILLS)]:
+                self.host_spills[i] = self._to_np_spill(self.host_spills[i])
 
     def finalize(self):
         """-> (words [U, W], counts [U], bins [U]) merged across chips.

@@ -555,9 +555,12 @@ class DeviceAccumulator:
             self.host_spills[i] = self._to_np_spill(s)
 
     # at most this many spills may be in flight (device buffers alive with
-    # their D2H copies unlanded) before the NEXT spill blocks on the oldest
-    # — unbounded pending spills would pin acc_cap-row buffers in HBM
-    # faster than a slow link drains them
+    # their D2H copies unlanded) — unbounded pending spills would pin
+    # acc_cap-row buffers in HBM faster than a slow link drains them.  The
+    # bound is enforced POST-APPEND, inside each spill: a spill may
+    # transiently observe MAX+1 pending entries while _bound_inflight
+    # materializes the oldest, and the invariant holds again when the
+    # spill returns (the observation point tests assert at — ADVICE r3)
     MAX_INFLIGHT_SPILLS = 2
 
     def _bound_inflight(self) -> None:
@@ -910,15 +913,17 @@ def execute_job(
         )
     if cfg.write:
         with timer.span("write_output"):
+            bin_hashes = None
             if cfg.use_kryo_serializer:
                 writer.write_binary(cfg.output_dir, res.words, res.counts, res.bins, cfg.k)
             else:
-                writer.write_bin_files(
+                bin_hashes = writer.write_bin_files(
                     cfg.output_dir, res.words, res.counts, res.bins, cfg.k,
                     eof_sentinel=not cfg.use_ht,
                 )
             manifest_mod.write_manifest(
-                cfg.output_dir, dataclasses_dict(cfg), res.words, res.counts, res.bins
+                cfg.output_dir, dataclasses_dict(cfg), res.words, res.counts,
+                res.bins, bin_hashes=bin_hashes,
             )
             if keep_table:
                 manifest_mod.write_table_sidecar(

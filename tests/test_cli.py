@@ -69,8 +69,10 @@ def test_cli_mesh_distributed(tmp_path):
 
 def test_cli_mesh_flags_take_effect_or_error(tmp_path):
     """No silent flag drops on --mesh (VERDICT r2 weak #4): --unique-ub and
-    --keep-table must take effect (sync-free feed reported; sidecar written),
-    --prededup on must hard-error (not implemented on the mesh path)."""
+    --keep-table must take effect (sync-free feed reported; sidecar
+    written), --prededup on must actually run the dedup transport (round 4:
+    mesh prededup is real), and must still hard-error where no dedup step
+    exists (smer transport)."""
     import os
 
     import pytest
@@ -89,12 +91,17 @@ def test_cli_mesh_flags_take_effect_or_error(tmp_path):
     rc = cli.main(base + ["--unique-ub", "4096", "--keep-table"])
     assert rc == 0
     s = json.load(open(stats))
-    assert s["sync_free_feed"] is True and s["prededup"] == "off"
+    assert s["sync_free_feed"] is True and s["prededup"] == "auto"
     out_dir = str(tmp_path / "g_k28_m10_x3_b64_s0")
     assert os.path.exists(os.path.join(out_dir, "table.npz"))
 
+    rc = cli.main(base + ["--prededup", "on"])
+    assert rc == 0
+    s = json.load(open(stats))
+    assert s["prededup"] == "on" and s["n_dedup_batches"] > 0
+
     with pytest.raises(NotImplementedError, match="prededup"):
-        cli.main(base + ["--prededup", "on"])
+        cli.main(base + ["--prededup", "on", "--smer-transport"])
 
 
 def test_cli_operational_flags(tmp_path):

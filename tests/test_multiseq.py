@@ -425,3 +425,52 @@ def test_gram_fastpath_matches_generic_sweep(measure_name):
         fast = accumulate_distances(words, seqs, counts, S, measure)
         slow = accumulate_distances(words, seqs, counts, S, GenericOnly())
         np.testing.assert_allclose(fast, slow, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("measure_name", [
+    "multisequence.SquaredEuclidean", "multisequence.KLDLog2",
+])
+def test_device_pair_sums_match_host(measure_name):
+    """The device Gram path (masked block-matmul over table rows, f32
+    MXU form) must agree with the host f64 BLAS path — incl. groups that
+    straddle the T-row block boundary (the halo logic) and S larger than
+    typical."""
+    from fastkmer_tpu.multiseq.pipeline import accumulate_distances
+
+    measure = dm.get_measure(measure_name)
+    rng = np.random.default_rng(101)
+    for S, n_kmers, T_note in [(3, 50, "tiny"), (16, 900, "straddle"),
+                               (48, 300, "wide")]:
+        rows = []
+        for g in range(n_kmers):
+            present = np.flatnonzero(rng.random(S) < 0.5)
+            for s in present:
+                rows.append((g, s, int(rng.integers(1, 50))))
+        gid = np.array([r[0] for r in rows], np.int64)
+        words = np.stack([gid.astype(np.uint32), (gid * 7 + 1).astype(np.uint32)], 1)
+        seqs = np.array([r[1] for r in rows], np.int32)
+        counts = np.array([r[2] for r in rows], np.int64)
+
+        host = accumulate_distances(words, seqs, counts, S, measure, device=False)
+        dev = accumulate_distances(words, seqs, counts, S, measure, device=True)
+        # f32 accumulation with cancellation (c*log c - c*log c'): ~1e-4
+        # relative is the documented device-path precision
+        np.testing.assert_allclose(dev, host, rtol=2e-4, atol=1e-3)
+
+
+def test_device_pair_sums_block_boundary_group():
+    """A single group laid exactly across the T=2048 block boundary must be
+    paired exactly once (halo correctness, deterministic placement)."""
+    from fastkmer_tpu.multiseq.pipeline import accumulate_distances
+
+    measure = dm.get_measure("multisequence.SquaredEuclidean")
+    S = 4
+    # 2047 singleton groups, then one group of S rows straddling row 2048
+    gid = np.concatenate([np.arange(2047), np.full(S, 2047)])
+    words = np.stack([gid.astype(np.uint32), (gid + 1).astype(np.uint32)], 1)
+    seqs = np.concatenate([np.zeros(2047, np.int32), np.arange(S, dtype=np.int32)])
+    counts = np.concatenate([np.full(2047, 2, np.int64),
+                             np.arange(1, S + 1, dtype=np.int64)])
+    host = accumulate_distances(words, seqs, counts, S, measure, device=False)
+    dev = accumulate_distances(words, seqs, counts, S, measure, device=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-8)

@@ -20,7 +20,8 @@ def _numpy_merge(parts, W):
 
 
 @pytest.mark.parametrize("W,P", [(1, 2), (2, 3), (2, 8), (3, 5), (4, 7),
-                                 (5, 4), (2, 22), (3, 1)])
+                                 (5, 4), (2, 22), (3, 1), (6, 5), (7, 9),
+                                 (8, 3), (9, 4)])
 def test_native_merge_matches_numpy(W, P):
     if not out_native.available():
         pytest.skip("no native toolchain")
@@ -62,11 +63,12 @@ def test_native_merge_empty_parts():
     np.testing.assert_array_equal(b, one[2])
 
 
-@pytest.mark.parametrize("W", [1, 2, 3, 4])
+@pytest.mark.parametrize("W", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_native_merge_all_ones_key(W):
     """A real all-ones key packs to the exhausted-leaf sentinel value in the
-    W<=4 loser-tree fast path (u64/u128 INF); the part-index tie-break must
-    keep it winning over exhausted leaves and merging across parts."""
+    W<=8 loser-tree fast path (u64/u128/two-limb INF); the part-index
+    tie-break must keep it winning over exhausted leaves and merging across
+    parts."""
     if not out_native.available():
         pytest.skip("no native toolchain")
     ones = np.full((1, W), 0xFFFFFFFF, np.uint32)
@@ -84,7 +86,7 @@ def test_native_merge_all_ones_key(W):
     np.testing.assert_array_equal(b, np.array([0, 1], np.int32))
 
 
-@pytest.mark.parametrize("W", [2, 4, 5])
+@pytest.mark.parametrize("W", [2, 4, 5, 7, 8])
 def test_native_merge_unsigned_high_bit(W):
     """Keys with the sign bit set must compare as UNSIGNED in every path
     (packed u64/u128 and the generic word loop)."""

@@ -1,0 +1,290 @@
+"""Mesh pre-exchange weighted dedup (parallel.stream prededup): the
+duplication-aware streaming transport must be bit-exact vs the oracle,
+cut exchange bytes on dup-heavy input, engage adaptively, and survive
+capacity overflow via the resize-and-retry machinery.
+
+Reference economics being matched: the super-k-mer shuffle compression
+(SparkBinKmerCounter.scala:34-169, shuffled at :1031-1036) — fewer
+interconnect bytes per duplicated position — without smer expansion
+padding (rejected; CLAUDE.md)."""
+
+import numpy as np
+import pytest
+
+from fastkmer_tpu.core import bits
+
+from . import oracles
+from .test_extract import random_reads, to_batch
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    from fastkmer_tpu.parallel import exchange
+
+    return jax.make_mesh((8,), (exchange.AXIS,), devices=jax.devices("cpu")[:8])
+
+
+def dup_heavy_reads(rng, n_reads, read_len, genome_len=200):
+    """Coverage-sampled reads from a tiny genome: in-batch distinct ratio
+    well under the 0.20 engage threshold."""
+    genome = "".join(rng.choice(list("ACGT"), size=genome_len))
+    reads = []
+    for _ in range(n_reads):
+        start = int(rng.integers(0, genome_len - read_len + 1))
+        reads.append(genome[start:start + read_len])
+    return reads
+
+
+def _table(ctr):
+    words, counts, _bins = ctr.finalize()
+    kmers = bits.decode_words_batch(words[:, : bits.num_words(ctr.k)], ctr.k)
+    return {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
+
+
+def test_forced_dedup_matches_oracle(mesh8):
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(41)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14,
+        owner_map=partitioner.hash_owner_map(B, 8), prededup=True,
+    )
+    for _ in range(3):
+        reads = dup_heavy_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    assert ctr.n_dedup_batches == 3
+    assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
+
+
+def test_forced_dedup_mixed_with_raw_parts(mesh8):
+    """Raw and dedup parts must merge together in one window (weights from
+    the lane for dedup parts, 1-per-row for raw) — the adaptive mode mixes
+    them whenever it switches mid-window."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(43)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14, fanin=4,
+        owner_map=partitioner.hash_owner_map(B, 8), prededup=True,
+    )
+    for i in range(4):
+        ctr.prededup = i % 2 == 0  # alternate transport inside one window
+        ctr._dedup_mode = ctr.prededup
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    assert ctr.n_dedup_batches == 2
+    assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
+
+
+def test_adaptive_dedup_engages_and_cuts_bytes(mesh8):
+    """On dup-heavy input the adaptive controller must engage dedup after
+    the first probe lands, shrink cap_d from the measured ratio, and spend
+    fewer interconnect bytes than raw transport for the same table."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(47)
+    # the engage ratio is the PER-CHIP distinct share (what dedup actually
+    # compresses), so the batch must be dup-heavy per chip: 16 reads/chip
+    # over a 150 bp genome -> ratio ~0.1
+    batches = [dup_heavy_reads(rng, 128, 100, genome_len=150) for _ in range(6)]
+    owner = partitioner.hash_owner_map(B, 8)
+
+    raw = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14, owner_map=owner,
+        prededup=False,
+    )
+    ada = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14, owner_map=owner,
+        prededup=None,
+    )
+    all_reads = []
+    for reads in batches:
+        all_reads.extend(reads)
+        raw.feed(to_batch(reads, 100), n_reads=len(reads))
+        ada.feed(to_batch(reads, 100), n_reads=len(reads))
+        # deterministic test: land the probe scalar before the next feed
+        # (production polls is_ready non-blockingly instead)
+        if ada._probe_pending:
+            np.asarray(ada._probe_pending[0][2])
+    assert ada._dedup_mode, "dup-heavy input must engage dedup"
+    assert ada.n_dedup_batches >= 5  # probe + every batch after it landed
+    assert ada.cap_d < ada.cap, "cap_d must shrink to the distinct share"
+    assert ada.exchange_bytes < raw.exchange_bytes
+    expect = dict(oracles.count_reads(all_reads, k))
+    assert _table(ada) == expect
+    assert _table(raw) == expect
+    assert raw.n_dedup_batches == 0
+
+
+def test_adaptive_dedup_disengages_on_distinct_input(mesh8):
+    """A distinct-heavy stream must keep (or return to) raw transport:
+    ratio above the threshold disengages after the probe lands."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(53)
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 15,
+        owner_map=partitioner.hash_owner_map(B, 8), prededup=None,
+    )
+    all_reads = []
+    for _ in range(4):
+        reads = random_reads(rng, 32, 100)  # near-all-distinct
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+        if ctr._probe_pending:
+            np.asarray(ctr._probe_pending[0][2])
+    assert not ctr._dedup_mode
+    assert ctr.n_dedup_batches == 1  # the batch-0 probe only
+    assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
+
+
+def test_dedup_retries_exchange_overflow(mesh8):
+    """An undersized dedup capacity must trigger the same resize-and-retry
+    replay as raw transport (cap_d doubles, window replays losslessly)."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(59)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14, fanin=2,
+        owner_map=partitioner.hash_owner_map(B, 8), prededup=True,
+    )
+    ctr.cap_d = 8  # force dedup-route overflow
+    ctr._exchange_dedup = None
+    for _ in range(4):
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
+    assert ctr.n_retries > 0 and ctr.cap_d > 8
+
+
+def test_dedup_spills_to_host(mesh8):
+    """Dedup parts must flow through accumulator spills like raw parts."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(61)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=2048, fanin=1,
+        owner_map=partitioner.hash_owner_map(B, 8), prededup=True,
+    )
+    for _ in range(6):
+        reads = random_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    assert ctr.host_spills, "expected at least one host spill"
+    assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
+
+
+def test_dedup_with_seq_lane(mesh8):
+    """Multiseq transport: the seq id is a key lane, so dedup counts
+    (k-mer, seq) pairs — weighted routing must preserve the per-sequence
+    split exactly."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(67)
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14, with_seq=True,
+        owner_map=partitioner.hash_owner_map(B, 8), prededup=True,
+    )
+    expect: dict = {}
+    for _ in range(3):
+        reads = dup_heavy_reads(rng, 32, 100)
+        sids = (rng.integers(0, 3, size=len(reads))).astype(np.int32)
+        for r, s in zip(reads, sids.tolist()):
+            for km, c in oracles.count_reads([r], k).items():
+                expect[(km, s)] = expect.get((km, s), 0) + c
+        ctr.feed(to_batch(reads, 100), seq_ids=sids)
+    words, counts, _bins = ctr.finalize()
+    W = bits.num_words(k)
+    kmers = bits.decode_words_batch(words[:, :W], k)
+    got = {
+        (km.decode(), int(s)): int(c)
+        for km, s, c in zip(kmers, words[:, W].tolist(), counts.tolist())
+    }
+    assert got == expect
+
+
+def test_dedup_sync_free_feed(mesh8):
+    """prededup=True + unique_ub: zero blocking pulls in the feed loop
+    (forced mode never consumes probe scalars; drops raise at finalize)."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(71)
+    all_reads = []
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 14, fanin=2,
+        owner_map=partitioner.hash_owner_map(B, 8), unique_ub=16000,
+        prededup=True,
+    )
+
+    def _boom(*a, **kw):
+        raise AssertionError("host sync during sync-free feed")
+
+    ctr._stats = _boom
+    ctr._retry_window_if_dropped = _boom
+    for _ in range(5):
+        reads = dup_heavy_reads(rng, 32, 100)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+    assert not ctr._window
+    del ctr._stats
+    del ctr._retry_window_if_dropped
+    assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
+
+
+def test_driver_mesh_prededup_end_to_end(mesh8, tmp_path):
+    """execute_job_distributed(prededup=True) — the flag the round-3
+    driver rejected with NotImplementedError — must produce the oracle
+    table through the full file-to-table path."""
+    from fastkmer_tpu.config import JobConfig
+    from fastkmer_tpu.parallel.driver import execute_job_distributed
+
+    rng = np.random.default_rng(73)
+    reads = dup_heavy_reads(rng, 96, 120, genome_len=300)
+    fa = tmp_path / "dup.fa"
+    fa.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+    cfg = JobConfig(
+        dataset=str(fa), output_directory=str(tmp_path / "out"), k=28, m=10,
+        x=3, max_b=64, sequence_type=0, write=False,
+        reads_per_batch=16, read_len=120,
+    )
+    res = execute_job_distributed(cfg, mesh8, verbose=False, prededup=True)
+    assert res.n_dedup_batches > 0
+    kmers = bits.decode_words_batch(res.words, cfg.k)
+    got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+    assert got == dict(oracles.count_reads(reads, cfg.k))
+
+
+def test_driver_prededup_rejected_off_streaming(mesh8, tmp_path):
+    """prededup=True still errors where no dedup step exists (smer/HT
+    per-batch paths) — the no-silent-flag-drop contract."""
+    from fastkmer_tpu.config import JobConfig
+    from fastkmer_tpu.parallel.driver import execute_job_distributed
+
+    fa = tmp_path / "tiny.fa"
+    fa.write_text(">r0\n" + "ACGT" * 30 + "\n")
+    cfg = JobConfig(
+        dataset=str(fa), output_directory=str(tmp_path / "out"), k=28, m=10,
+        x=3, max_b=64, sequence_type=0, write=False,
+        reads_per_batch=16, read_len=120,
+    )
+    with pytest.raises(NotImplementedError, match="prededup"):
+        execute_job_distributed(
+            cfg, mesh8, verbose=False, prededup=True, smer_transport=True
+        )

@@ -109,6 +109,10 @@ def test_smer_exchange_matches_oracle():
     got = {km.decode(): int(c) for km, c in zip(kmers, counts.tolist())}
     assert got == dict(oracles.count_reads(reads, k))
 
-    # shuffle-bytes accounting: per-record lane math
-    assert exchange.exchange_bytes_per_step(8, 512, k) == 8 * 512 * (bits.num_words(k) + 1) * 4
-    assert exchange.exchange_bytes_per_step(8, 512, k, smax) == 8 * 512 * (smax // 16 + 2) * 4
+    # shuffle-bytes accounting: per-record lane math.  Sentinel-safe k
+    # ships the key words only (dead slots ARE the sentinel — no ok lane);
+    # k % 16 == 0 still needs the ok lane; smer records ship payload +
+    # n_kmers (unfilled slots ship n_kmers=0).
+    assert exchange.exchange_bytes_per_step(8, 512, k) == 8 * 512 * bits.num_words(k) * 4
+    assert exchange.exchange_bytes_per_step(8, 512, 32) == 8 * 512 * (bits.num_words(32) + 1) * 4
+    assert exchange.exchange_bytes_per_step(8, 512, k, smax) == 8 * 512 * (smax // 16 + 1) * 4

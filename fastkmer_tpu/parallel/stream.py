@@ -95,6 +95,18 @@ class _Part(NamedTuple):
     ndrop: jnp.ndarray
 
 
+def _merge_cap_in(n_rows: int) -> int:
+    """Merge-sort input width for ``n_rows``: 64Ki granules (bounded
+    compile set), EXCEPT padded up to a power of two when within 10% —
+    lax.sort at pow2 row counts measured 21% cheaper per element
+    (benchmarks/split_merge_probe.py)."""
+    cap_in = -(-n_rows // (1 << 16)) * (1 << 16)
+    p2 = 1 << (n_rows - 1).bit_length()
+    if p2 <= n_rows * 1.10:
+        cap_in = max(cap_in, p2)
+    return cap_in
+
+
 class _PendingSpill:
     """A spilled per-chip table slice whose D2H copy is in flight; ``chip``
     lets the in-flight bound apply PER CHIP (under bin skew all pending
@@ -200,6 +212,7 @@ class DistributedCounter:
         self._cap_limit = cap  # grows with observed per-src positions
         self.exchange_bytes = 0  # cumulative bytes crossing the interconnect
         self.n_retries = 0
+        self.merge_shapes: list = []  # (n_rows, padded cap_in) per merge
         # --- adaptive pre-exchange dedup state ---
         self.prededup = prededup
         self.cap_d = cap  # dedup-mode per-(src,dst) capacity (pow2-quantized)
@@ -348,12 +361,7 @@ class DistributedCounter:
         routed int32 weight lane."""
         n, acc_cap, W = self.n, self.acc_cap, self.W
         n_rows = sum(r for r, _ in part_descs) + acc_cap
-        cap_in = -(-n_rows // (1 << 16)) * (1 << 16)  # 64Ki granules, bounded compiles
-        # pad to a power of two when within 10%: lax.sort at pow2 row
-        # counts measured 21% cheaper per element (split_merge_probe.py)
-        p2 = 1 << (n_rows - 1).bit_length()
-        if p2 <= n_rows * 1.10:
-            cap_in = max(cap_in, p2)
+        cap_in = _merge_cap_in(n_rows)
         specs_part = tuple(
             tuple(P(AXIS) for _ in range(W + (1 if hw else 0)))
             for _, hw in part_descs
@@ -439,6 +447,8 @@ class DistributedCounter:
         )
         if descs not in self._merge_cache:
             self._merge_cache[descs] = self._build_merge(descs)
+        n_rows = sum(r for r, _ in descs) + self.acc_cap
+        self.merge_shapes.append((n_rows, _merge_cap_in(n_rows)))  # pow2 audit
         parts = tuple(
             p.cols + ((p.wts,) if p.wts is not None else ())
             for p in self.pending

@@ -508,10 +508,10 @@ class DistributedCounter:
         blocking materialize — the value is a replicated psum (identical
         on every process) and by then PROBE_LAG batches old (normally long
         landed), so every process switches modes at the same batch and the
-        collective program sequence stays in lockstep."""
-        if self.prededup is not None:
-            self._probe_pending.clear()
-            return
+        collective program sequence stays in lockstep.
+
+        Forced mode (prededup=True) consumes the same scalars but only for
+        ``cap_d`` retuning — the transport stays dedup regardless."""
         while self._probe_pending:
             consume_at, pos, arr = self._probe_pending[0]
             if self._multihost:
@@ -525,19 +525,22 @@ class DistributedCounter:
                     pass
             self._probe_pending.pop(0)
             ratio = int(np.asarray(arr)) / max(pos, 1)
-            self._dedup_mode = ratio < self.ENGAGE_BELOW
-            if self._dedup_mode:
+            if self.prededup is None:
+                self._dedup_mode = ratio < self.ENGAGE_BELOW
+            if self._dedup_mode or self.prededup is True:
                 self._retune_cap_d(ratio)
 
     def _retune_cap_d(self, ratio: float) -> None:
         """Size the dedup-mode exchange capacity from the measured distinct
         ratio: distinct rows per (src,dst) shrink with the position share,
-        so cap_d ~ cap * ratio * slack, pow2-quantized (bounded compile
-        set), floored, never above the raw cap.  Growth beyond the target
-        (a mid-run duplication shift) is covered by the drop-detect +
-        retry-at-doubled-cap machinery, same as the raw path."""
-        target = max(512, int(self.cap * min(1.0, ratio) * 2.0))
-        target = 1 << (target - 1).bit_length()
+        so cap_d ~ cap * ratio * slack, quantized to a {pow2, 1.5*pow2}
+        grid (bounded compile set, <=50% padding), floored, never above
+        the raw cap.  Growth beyond the target (a mid-run duplication
+        shift) is covered by the drop-detect + retry-at-doubled-cap
+        machinery, same as the raw path."""
+        target = max(512, int(self.cap * min(1.0, ratio) * 1.5))
+        p2 = 1 << (target - 1).bit_length()
+        target = p2 * 3 // 4 if p2 * 3 // 4 >= target else p2
         target = min(target, self.cap)
         if target != self.cap_d:
             self.cap_d = target
@@ -620,7 +623,9 @@ class DistributedCounter:
             # into the sentinel, so dedup adds one lane but multiplies by
             # the (much smaller) distinct capacity
             self.exchange_bytes += self.n * self.cap_d * (self.W + 1) * 4
-            if self.prededup is None:
+            # the distinct-count scalar steers mode (adaptive) AND cap_d
+            # retuning (all modes) — prefetched, consumed lazily
+            if self.prededup is not False:
                 try:
                     n_u.copy_to_host_async()
                 except AttributeError:

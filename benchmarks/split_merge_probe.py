@@ -57,6 +57,7 @@ def main():
 
     from fastkmer_tpu.utils import jaxcache  # noqa: F401
     from fastkmer_tpu.ops import pallas_sort
+    from benchmarks import pallas_bitonic_merge as pbm
 
     N = 1 << lgN
     half = N // 2
@@ -75,10 +76,10 @@ def main():
             jnp.concatenate([sa[1], ~sb[1]]),
             jnp.concatenate([sa[2], sb[2]]),
         )
-        return pallas_sort.bitonic_merge(cols, num_keys=2, block=1 << 16)
+        return pbm.bitonic_merge(cols, num_keys=2, block=1 << 16)
 
     def merge_only(a, b, w):
-        return pallas_sort.bitonic_merge((a, b, w), num_keys=2, block=1 << 16)
+        return pbm.bitonic_merge((a, b, w), num_keys=2, block=1 << 16)
 
     f_single, f_split = jax.jit(single), jax.jit(split)
 
@@ -97,7 +98,7 @@ def main():
             jnp.concatenate([sa[1], ~sb[1]]),
             jnp.concatenate([sa[2], sb[2]]),
         )
-        return pallas_sort.bitonic_merge(cols, num_keys=2, block=1 << 16)
+        return pbm.bitonic_merge(cols, num_keys=2, block=1 << 16)
 
     ref = [np.asarray(o) for o in jax.jit(single)(va, vb, vw)]
     got = [np.asarray(o) for o in jax.jit(split_v)(va, vb, vw)]

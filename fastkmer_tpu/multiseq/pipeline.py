@@ -114,10 +114,14 @@ def _batch_extract_keys_seq(
 # closed over (elementwise jnp), so the whole block loop jits once
 _PAIR_JIT: dict = {}
 
-# auto-select the device Gram path above this much work (rows x S): below
-# it, dispatch overhead beats the matmul win (measured crossover:
-# benchmarks/distance_probe.py)
-_DEVICE_PAIR_MIN_WORK = 1 << 22
+# measured verdict (benchmarks/distance_probe.py on the attached TPU):
+# the device Gram path TIES host BLAS at S=8 and loses at S=64/256
+# (0.56-0.71x) because shipping the U-row table dominates — the final
+# table lives on the HOST after finalize (spill merging), so the device
+# arm pays H2D every call.  Auto-selection therefore stays on the host
+# path; device=True remains an explicit override for locally-attached
+# hardware where the table transfer is ~100x cheaper than this tunnel.
+_DEVICE_PAIR_MIN_WORK = 1 << 22  # work floor used only by the override docs/probe
 
 
 def _pair_sums_device_fn(measure: dist_mod.DistanceMeasure, S: int, T: int = 2048):
@@ -226,21 +230,18 @@ def accumulate_distances(
     np.any(words[1:] != words[:-1], axis=1, out=kchange[1:])
     gid = np.cumsum(kchange) - 1  # k-mer group id per row
 
-    # device Gram path (``device=None`` auto-selects): MXU matmuls over the
-    # table rows when the work amortizes dispatch and counts are f32-exact;
-    # explicit device=True/False overrides (measured crossover:
-    # benchmarks/distance_probe.py)
+    # device Gram path: MXU matmuls over the table rows.  ``device=None``
+    # resolves to HOST — measured (benchmarks/distance_probe.py): through
+    # the attached link the device arm ties at S=8 and loses at S=64/256
+    # because the post-finalize table is host-resident and must ship.
+    # ``device=True`` forces it (valid when counts are f32-exact, <2^24,
+    # and the link is local); result matches host to ~1e-4 relative.
     has_row = (
         type(measure).bilinear_row_terms
         is not dist_mod.DistanceMeasure.bilinear_row_terms
     )
     if device is None:
-        device = (
-            has_row
-            and jax.default_backend() != "cpu"
-            and U * S >= _DEVICE_PAIR_MIN_WORK
-            and float(counts.max(initial=0.0)) < float(1 << 24)
-        )
+        device = False
     if device and has_row:
         D = _pair_sums_from_device(gid, seqs, counts, S, measure)
         zero = np.zeros_like(counts)

@@ -95,6 +95,14 @@ class _Part(NamedTuple):
     ndrop: jnp.ndarray
 
 
+def _quantize_cap(v: int) -> int:
+    """Round a capacity UP to the {pow2, 1.5*pow2} grid (bounded compile
+    set, <=50% padding), floor 512."""
+    v = max(512, v)
+    p2 = 1 << (v - 1).bit_length()
+    return p2 * 3 // 4 if p2 * 3 // 4 >= v else p2
+
+
 def _merge_cap_in(n_rows: int) -> int:
     """Merge-sort input width for ``n_rows``: 64Ki granules (bounded
     compile set), EXCEPT padded up to a power of two when within 10% —
@@ -215,7 +223,16 @@ class DistributedCounter:
         self.merge_shapes: list = []  # (n_rows, padded cap_in) per merge
         # --- adaptive pre-exchange dedup state ---
         self.prededup = prededup
-        self.cap_d = cap  # dedup-mode per-(src,dst) capacity (pow2-quantized)
+        # dedup-mode per-(src,dst) capacity.  Starts at the raw cap (no
+        # information), EXCEPT when unique_ub is asserted: a chip's local
+        # batch distinct count is bounded by the GLOBAL distinct bound, so
+        # cap_d = unique_ub (rounded up) can never drop a routed row even
+        # if every unique lands on one destination — this removes the
+        # cold-start where a sync-free feed finishes before the first
+        # ratio scalar lands and dedup ships at full raw capacity.
+        self.cap_d = cap
+        if unique_ub is not None:
+            self.cap_d = min(cap, _quantize_cap(int(unique_ub)))
         self._dedup_mode = prededup is True
         self._batch_i = 0
         self.n_dedup_batches = 0
@@ -537,11 +554,16 @@ class DistributedCounter:
         grid (bounded compile set, <=50% padding), floored, never above
         the raw cap.  Growth beyond the target (a mid-run duplication
         shift) is covered by the drop-detect + retry-at-doubled-cap
-        machinery, same as the raw path."""
-        target = max(512, int(self.cap * min(1.0, ratio) * 1.5))
-        p2 = 1 << (target - 1).bit_length()
-        target = p2 * 3 // 4 if p2 * 3 // 4 >= target else p2
-        target = min(target, self.cap)
+        machinery, same as the raw path.
+
+        Sync-free mode (assume_fits) never retunes: there is no retry net
+        there, and the ctor already fixed cap_d at the provably-safe
+        unique_ub size (a chip's local distinct count cannot exceed the
+        asserted global bound)."""
+        if self.assume_fits:
+            return
+        target = min(_quantize_cap(int(self.cap * min(1.0, ratio) * 1.5)),
+                     self.cap)
         if target != self.cap_d:
             self.cap_d = target
             self._exchange_dedup = None  # rebuild at the new capacity

@@ -81,10 +81,14 @@ def test_sort_blocks_preserves_int32_value_dtype():
     [(1, 0, 1024, 4096), (2, 1, 1024, 8192), (2, 1, 2048, 4096)],
 )
 def test_bitonic_merge_matches_full_sort(n_keys, n_vals, block, N):
+    # the kernel is RETIRED to benchmarks/ (no production call site wins;
+    # see benchmarks/pallas_bitonic_merge.py docstring) but stays
+    # exactness-tested so it is ready the day a device-resident consumer
+    # of merged runs appears
     """Merging [A ascending | B descending] (B sorted on bit-NOT keys, so
     its sentinels sit at the junction) must equal a full lexicographic sort
     of the union — the O(n log n) merge the pow2 split design relies on."""
-    from fastkmer_tpu.ops import pallas_sort
+    from benchmarks import pallas_bitonic_merge as pallas_sort
 
     rng = np.random.default_rng(11)
     cols = _mk_cols(rng, n_keys, n_vals, N)

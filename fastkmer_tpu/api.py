@@ -52,6 +52,57 @@ def count_kmers(
     )
 
 
+def count_kmers_distributed(
+    dataset: str,
+    n_devices: int | None = None,
+    k: int = 28,
+    m: int = 10,
+    bins: int = 2000,
+    sequence_type: int = 0,
+    use_ht: bool = False,
+    output_directory: str | None = None,
+    unique_ub: int | None = None,
+    prededup: bool | None = None,
+    use_custom_partitioner: bool = False,
+    checkpoint_dir: str | None = None,
+    **kw,
+):
+    """Count canonical k-mers over a device mesh (the library form of the
+    ``--mesh`` CLI / the reference's spark-submit cluster run).
+
+    ``n_devices``: mesh width (defaults to every visible device; on a
+    multi-host fleet call under ``jax.distributed`` with the global device
+    count).  ``prededup``: duplication-aware exchange transport (None =
+    adaptive probing).  ``use_custom_partitioner``: sampled LPT bin->chip
+    placement (the reference's MultiprocessorSchedulingPartitioner).
+    Returns parallel.driver.DistributedResult (adds owner_map / balance /
+    exchange_bytes / n_dedup_batches to the count table)."""
+    import jax
+
+    from .parallel import exchange
+    from .parallel.driver import execute_job_distributed
+
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    mesh = jax.make_mesh((n,), (exchange.AXIS,), devices=devs[:n])
+    cfg = JobConfig(
+        dataset=dataset,
+        output_directory=output_directory or "",
+        k=k,
+        m=m,
+        max_b=bins,
+        sequence_type=sequence_type,
+        use_ht=use_ht,
+        write=output_directory is not None,
+        use_custom_partitioner=use_custom_partitioner,
+        **kw,
+    )
+    return execute_job_distributed(
+        cfg, mesh, verbose=False, unique_ub=unique_ub, prededup=prededup,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def spectrum(res: CountResult, max_count: int = 10000) -> np.ndarray:
     """k-mer spectrum: spectrum[c] = number of distinct k-mers with count c
     (counts above max_count are clamped into the last bucket)."""

@@ -56,3 +56,23 @@ def test_binary_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded.words, res.words)
     np.testing.assert_array_equal(loaded.counts, res.counts)
     np.testing.assert_array_equal(loaded.bins, res.bins)
+
+
+def test_api_distributed(tmp_path):
+    """count_kmers_distributed: mesh counting from the library surface,
+    same table as single-chip, LPT knob honored."""
+    rng = np.random.default_rng(9)
+    reads = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(16)]
+    reads += reads[:4]  # duplicates
+    fa = str(tmp_path / "d.fa")
+    write_fasta(fa, reads)
+
+    res = api.count_kmers_distributed(
+        fa, n_devices=8, k=24, m=8, bins=32, reads_per_batch=8,
+        read_len=256, use_custom_partitioner=True,
+    )
+    expect = oracles.count_reads(reads, 24)
+    assert api.to_dict(res, 24) == dict(expect)
+    assert res.owner_map.shape == (32,)
+    assert res.balance.get("imbalance") is not None
+    assert res.exchange_bytes > 0

@@ -110,16 +110,24 @@ def main(argv=None) -> int:
         from .multiseq.pipeline import MultiseqConfig, execute_multiseq_job
 
         cfg = MultiseqConfig(**common, distance_measure=args.distance_measure)
+        prededup_ms = {"auto": None, "on": True, "off": False}[args.prededup]
         if mesh is not None:
             from .multiseq.distributed import execute_multiseq_job_distributed
 
             res = execute_multiseq_job_distributed(
                 cfg, mesh, checkpoint_dir=args.checkpoint_dir,
                 checkpoint_interval=args.checkpoint_interval,
-                unique_ub=args.unique_ub,
+                unique_ub=args.unique_ub, prededup=prededup_ms,
             )
             extra = {"exchange_bytes": res.exchange_bytes, "balance": res.balance}
         else:
+            # no silent flag drops: single-chip multiseq has no per-batch
+            # dedup step (the accumulator takes raw (k-mer, seq) keys)
+            if prededup_ms is True:
+                raise NotImplementedError(
+                    "prededup is a mesh-transport / count-job feature; "
+                    "single-chip --multiseq has no dedup step"
+                )
             res = execute_multiseq_job(
                 cfg, checkpoint_dir=args.checkpoint_dir,
                 checkpoint_interval=args.checkpoint_interval,

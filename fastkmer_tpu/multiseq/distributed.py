@@ -27,7 +27,8 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
                                      verbose: bool = True,
                                      checkpoint_dir: str | None = None,
                                      checkpoint_interval: int = 32,
-                                     unique_ub: int | None = None):
+                                     unique_ub: int | None = None,
+                                     prededup: bool | None = None):
     """Multi-chip execute_multiseq_job (same MultiseqConfig / result type).
 
     Honors ``use_custom_partitioner``/``num_partition_tasks`` with the same
@@ -39,7 +40,10 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
 
     ``checkpoint_dir`` enables kill-and-resume via the same spill-flow
     checkpoints as the counting driver; ``unique_ub`` (a bound on distinct
-    (k-mer, sequence) PAIRS) enables the sync-free feed.
+    (k-mer, sequence) PAIRS) enables the sync-free feed.  ``prededup``
+    selects the duplication-aware exchange transport (the seq id is a key
+    lane, so dedup counts (k-mer, seq) pairs locally before routing);
+    None = adaptive probing, the counting driver's default.
     """
     from ..ingest import batch as batching, fasta
     from ..utils.timing import StageTimer
@@ -108,7 +112,7 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
     acc_cap = 1 << max(14, (2 * n * cap - 1).bit_length())
     ctr = stream.DistributedCounter(
         mesh, cfg.k, cfg.m, cfg.b, cap, acc_cap, owner_map, with_seq=True,
-        unique_ub=unique_ub,
+        unique_ub=unique_ub, prededup=prededup,
     )
 
     ckpt = None

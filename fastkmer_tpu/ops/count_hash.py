@@ -36,7 +36,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .count_sort import SortedCounts, _mark_and_count
+from .count_sort import SortedCounts, _mark_and_count, _sort_sliced
 
 _U = jnp.uint32
 
@@ -95,7 +95,15 @@ def count_hashed(
     w_in = jnp.where(valid, w_in, 0)
     bcols = () if bins is None else (bins,)
     ops = (flag, hi, lo) + tuple(words[:, w] for w in range(W)) + bcols + (w_in,)
-    out = jax.lax.sort(ops, num_keys=3, is_stable=False)
+    # pow2 pad (count_sort._sort_sliced): flag=1 + all-ones fingerprint
+    # pads sort last among invalids and slice back off losslessly
+    fills = (
+        (_U(1), _U(0xFFFFFFFF), _U(0xFFFFFFFF))
+        + (_U(0xFFFFFFFF),) * W
+        + (() if bins is None else (0,))
+        + (0,)
+    )
+    out = _sort_sliced(ops, 3, fills)
     sflag, shi, slo = out[0], out[1], out[2]
     swords = out[3 : 3 + W]
     sbins = out[3 + W] if bins is not None else None

@@ -121,7 +121,19 @@ def route_by_owner(owner, valid, cols: tuple, n: int, cap: int,
     """
     N = owner.shape[0]
     sort_key = jnp.where(valid, owner, n).astype(jnp.int32)
-    sorted_ = jax.lax.sort((sort_key,) + tuple(cols), num_keys=1, is_stable=False)
+    ops = (sort_key,) + tuple(cols)
+    # pow2 pad for the grouping sort (count_sort.pow2_pad_rows, measured
+    # 1.20x at the per-batch shape): pad rows carry the invalid key n and
+    # land in the dropped-excluded bucket, past every gatherable slot
+    pad = count_sort.pow2_pad_rows(N)
+    if pad:
+        ops = tuple(
+            jnp.concatenate(
+                [o, jnp.full(pad, n if i == 0 else 0, o.dtype)]
+            )
+            for i, o in enumerate(ops)
+        )
+    sorted_ = jax.lax.sort(ops, num_keys=1, is_stable=False)
     skey = sorted_[0]
     scols = sorted_[1:]
 

@@ -42,7 +42,9 @@ K, M, B = 28, 10, 512
 R, L = 4096, 4096  # 16.8 Mbp per batch
 GENOME = 1 << 24  # 16.8 Mbp genome -> distinct k-mers bounded by GENOME
 NBATCH = 16  # 268 Mbp total, ~16x coverage
-FANIN = 8
+import os as _os
+
+FANIN = int(_os.environ.get("FASTKMER_BENCH_FANIN", "16"))
 
 
 def log(msg: str) -> None:

@@ -325,11 +325,21 @@ class DeviceAccumulator:
     sync-free feed is what makes streaming measurable — BASELINE.md.)
     """
 
+    # pending-buffer HBM budget backing the max_device_rows default: at
+    # W=2 (k<=32) it admits 192M buffered rows — the MEASURED best merge
+    # cadence with fanin=16 (0.1224 Gbp/s: row-clamp merges at ~12 batches
+    # / 217M-row sorts).  A larger 2.2 GB budget that let the near-pow2
+    # trigger fire at 15 batches (one 2^28-row merge) measured SLOWER
+    # (0.1166): lax.sort's per-element cost growth past 2^27 eats the pow2
+    # discount.  Larger W scales the row bound down so k=97 (8 lanes)
+    # cannot pin 6+ GB of pending columns
+    PENDING_BYTE_BUDGET = 1_536_000_000
+
     def __init__(
         self,
         k: int,
-        fanin: int = 8,
-        max_device_rows: int = 192_000_000,
+        fanin: int = 16,
+        max_device_rows: int | None = None,
         m: int = 10,
         B: int = 512,
         acc_cap: int | None = None,
@@ -345,6 +355,8 @@ class DeviceAccumulator:
         self.m = m
         self.B = B
         self.fanin = fanin
+        if max_device_rows is None:
+            max_device_rows = self.PENDING_BYTE_BUDGET // (4 * self.lanes)
         self.max_device_rows = max_device_rows
         if unique_ub is not None and acc_cap is None:
             # next 64Ki granule + 2 granules of slack, floor 2^14.  The

@@ -101,3 +101,57 @@ def test_duplicate_heavy_merging(tmp_path):
     res, _ = run_job(tmp_path, reads, k=24, m=9, reads_per_batch=3)
     expect = {km: 17 * c for km, c in oracles.count_reads([base_read], 24).items()}
     assert result_as_dict(res, 24) == expect
+
+
+def test_pow2_pad_sort_path_exact():
+    """_sort_sliced's pow2 pad engages only above the size floor; at an
+    engaged size the padded sort must be indistinguishable from the
+    unpadded semantics (valid rows + run totals + HT fingerprints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastkmer_tpu.ops import count_hash, count_sort
+
+    N = (1 << 18) + 1000  # pad target 2^19, within 10%? 1.998x -> NO pad
+    assert count_sort.pow2_pad_rows(N) == 0
+    N = (1 << 19) - 9000  # within 10% of 2^19 -> pad engages
+    pad = count_sort.pow2_pad_rows(N)
+    assert pad == 9000
+    assert count_sort.pow2_pad_rows(1 << 19) == 0  # exact pow2: no-op
+    assert count_sort.pow2_pad_rows(100) == 0  # below floor
+
+    rng = np.random.default_rng(3)
+    # small key universe -> many duplicate runs; ~10% invalid rows
+    words = rng.integers(0, 500, size=(N, 2)).astype(np.uint32)
+    valid = rng.random(N) > 0.1
+
+    @jax.jit
+    def run(w, v):
+        return count_sort.count_sorted(w, None, v, sentinel_safe=True)
+
+    sc = run(jnp.asarray(words), jnp.asarray(valid))
+    uniq = np.asarray(sc.is_uniq)
+    got = {
+        tuple(w): int(c)
+        for w, c in zip(np.asarray(sc.words)[uniq], np.asarray(sc.counts)[uniq])
+    }
+    expect: dict = {}
+    for row, v in zip(words, valid):
+        if v:
+            t = (int(row[0]), int(row[1]))
+            expect[t] = expect.get(t, 0) + 1
+    assert got == expect
+    assert int(np.asarray(sc.n_valid)) == sum(expect.values())
+
+    @jax.jit
+    def run_ht(w, v):
+        return count_hash.count_hashed(w, None, v)
+
+    sch, coll = run_ht(jnp.asarray(words), jnp.asarray(valid))
+    assert not bool(np.asarray(coll))
+    uh = np.asarray(sch.is_uniq)
+    got_h = {
+        tuple(w): int(c)
+        for w, c in zip(np.asarray(sch.words)[uh], np.asarray(sch.counts)[uh])
+    }
+    assert got_h == expect

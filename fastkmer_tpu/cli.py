@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prededup", choices=("auto", "on", "off"), default="auto",
                    help="per-batch count+compact before accumulation "
                         "(pays on duplication-heavy inputs; auto probes)")
+    p.add_argument("--trace-dir", default=None,
+                   help="wrap the run in a jax.profiler trace written here "
+                        "(the structured replacement for the reference's "
+                        "per-stage println timing)")
     return p
 
 
@@ -106,6 +110,15 @@ def main(argv=None) -> int:
             devs = jax.devices("cpu")
         mesh = jax.make_mesh((args.mesh,), (exchange.AXIS,), devices=devs[: args.mesh])
 
+    # one uniform profiling hook for every mode (count/multiseq x
+    # single/mesh) — the library entry points also accept trace_dir
+    from .utils.timing import maybe_profile
+
+    with maybe_profile(args.trace_dir):
+        return _dispatch_job(args, common, mesh)
+
+
+def _dispatch_job(args, common: dict, mesh) -> int:
     if args.multiseq:
         from .multiseq.pipeline import MultiseqConfig, execute_multiseq_job
 

@@ -101,6 +101,36 @@ def execute_job_distributed(
     unique_ub: int | None = None,
     keep_table: bool = False,
     prededup: bool | None = None,
+    trace_dir: str | None = None,
+) -> DistributedResult:
+    """``trace_dir`` wraps the whole run in a jax.profiler trace — the
+    same observability hook as the single-chip execute_job (SURVEY.md §5
+    tracing)."""
+    from ..utils.timing import maybe_profile
+
+    with maybe_profile(trace_dir):
+        return _execute_job_distributed(
+            cfg, mesh, cap, smer_transport, smax, verbose, streaming,
+            acc_cap, fanin, checkpoint_dir, checkpoint_interval, unique_ub,
+            keep_table, prededup,
+        )
+
+
+def _execute_job_distributed(
+    cfg: JobConfig,
+    mesh: Mesh,
+    cap: int | None = None,
+    smer_transport: bool = False,
+    smax: int = 64,
+    verbose: bool = True,
+    streaming: bool | None = None,
+    acc_cap: int | None = None,
+    fanin: int = 4,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 32,
+    unique_ub: int | None = None,
+    keep_table: bool = False,
+    prededup: bool | None = None,
 ) -> DistributedResult:
     timer = StageTimer()
     n = mesh.shape[exchange.AXIS]

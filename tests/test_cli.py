@@ -163,3 +163,28 @@ def test_cli_multiseq_prededup_matrix(tmp_path):
 
     with pytest.raises(NotImplementedError, match="prededup"):
         cli.main(base + ["--prededup", "on"])
+
+
+def test_cli_trace_dir(tmp_path):
+    """--trace-dir must produce a jax.profiler trace for any mode."""
+    import os
+
+    rng = np.random.default_rng(13)
+    reads = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(6)]
+    fa = str(tmp_path / "in.fa")
+    write_fasta(fa, reads)
+    tdir = str(tmp_path / "trace")
+    rc = cli.main(
+        [
+            "20", "8", "3", "32", "0", "0", fa, str(tmp_path) + "/", "",
+            "0", "0", "0", "--platform", "cpu", "--reads-per-batch", "4",
+            "--read-len", "128", "--trace-dir", tdir,
+        ]
+    )
+    assert rc == 0
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tdir)
+        for f in fs
+    ]
+    assert found, "no trace artifacts written"

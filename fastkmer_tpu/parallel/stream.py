@@ -233,6 +233,12 @@ class DistributedCounter:
         self.cap_d = cap
         if unique_ub is not None:
             self.cap_d = min(cap, _quantize_cap(int(unique_ub)))
+        # once a drop forces a doubling, retunes may never shrink below the
+        # doubled value: the ratio is a GLOBAL average, so a skewed
+        # destination can overflow a ratio-sized cap_d repeatedly — without
+        # the floor, retry-double -> probe-shrink would oscillate and every
+        # window would re-exchange twice (code-review r4 finding)
+        self._cap_d_floor = 512
         self._dedup_mode = prededup is True
         self._batch_i = 0
         self.n_dedup_batches = 0
@@ -564,6 +570,7 @@ class DistributedCounter:
             return
         target = min(_quantize_cap(int(self.cap * min(1.0, ratio) * 1.5)),
                      self.cap)
+        target = max(target, self._cap_d_floor)
         if target != self.cap_d:
             self.cap_d = target
             self._exchange_dedup = None  # rebuild at the new capacity
@@ -697,8 +704,14 @@ class DistributedCounter:
             if (raw_dropped and self.cap >= self._cap_limit) or (
                 dedup_dropped and self.cap_d >= self._cap_limit
             ):
+                which = " and ".join(
+                    s for s, d in (
+                        (f"cap={self.cap} (raw)", raw_dropped),
+                        (f"cap_d={self.cap_d} (dedup)", dedup_dropped),
+                    ) if d
+                )
                 raise RuntimeError(
-                    f"exchange overflow at worst-case cap={self.cap}: "
+                    f"exchange overflow at worst-case capacity {which}: "
                     f"{int(drops.sum())} entries dropped"
                 )
             if raw_dropped:
@@ -706,6 +719,7 @@ class DistributedCounter:
                 self._exchange = self._build_exchange()
             if dedup_dropped:
                 self.cap_d = min(self.cap_d * 2, self._cap_limit)
+                self._cap_d_floor = self.cap_d  # retunes may not undo this
                 self._exchange_dedup = None
             self.n_retries += 1
             window = self._window

@@ -168,6 +168,12 @@ def test_dedup_retries_exchange_overflow(mesh8):
         ctr.feed(to_batch(reads, 100), n_reads=len(reads))
     assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
     assert ctr.n_retries > 0 and ctr.cap_d > 8
+    # overflow-driven doubling sets a FLOOR: a later low-ratio retune must
+    # not shrink cap_d back into the capacity that just dropped (else
+    # retry-double -> probe-shrink oscillates, re-exchanging every window)
+    floor = ctr.cap_d
+    ctr._retune_cap_d(0.0001)
+    assert ctr.cap_d >= floor
 
 
 def test_dedup_spills_to_host(mesh8):

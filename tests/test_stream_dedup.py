@@ -294,3 +294,40 @@ def test_driver_prededup_rejected_off_streaming(mesh8, tmp_path):
         execute_job_distributed(
             cfg, mesh8, verbose=False, prededup=True, smer_transport=True
         )
+
+
+def test_pow2_pad_equivalence_on_mesh(mesh8, monkeypatch):
+    """The transparent pow2 sort pad (count_sort._sort_sliced) engages only
+    above 2^18 rows, which CPU-scale tests never reach — this one does
+    (per-chip 260,416 positions, 0.7% under 2^18*2): padded and unpadded
+    runs must produce identical tables through the full mesh transport
+    (raw AND dedup) including the padded grouping sort."""
+    from fastkmer_tpu.ops import count_sort
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    R, L = 512, 7839  # per-chip 499,968 positions = 0.954 x 2^19 -> pad
+    rng = np.random.default_rng(77)
+    genome = "".join(rng.choice(list("ACGT"), size=20000))
+    reads = [
+        genome[s:s + L]
+        for s in rng.integers(0, 20000 - L, size=2 * R).tolist()
+    ]
+    per_chip = (R // 8) * (L - k + 1)
+    assert count_sort.pow2_pad_rows(per_chip) > 0, per_chip
+
+    def run(prededup):
+        ctr = stream.DistributedCounter(
+            mesh8, k, m, B, cap=1 << 16, acc_cap=1 << 17, fanin=2,
+            owner_map=partitioner.hash_owner_map(B, 8), prededup=prededup,
+        )
+        for i in range(2):
+            ctr.feed(to_batch(reads[i * R:(i + 1) * R], L))
+        w, c, b = ctr.finalize()
+        return w.tobytes(), c.tobytes()
+
+    padded = {p: run(p) for p in (False, True)}
+    monkeypatch.setattr(count_sort, "pow2_pad_rows", lambda *a, **kw: 0)
+    unpadded = {p: run(p) for p in (False, True)}
+    assert padded == unpadded
+    assert padded[False] == padded[True]  # raw == dedup transport

@@ -331,3 +331,89 @@ def test_pow2_pad_equivalence_on_mesh(mesh8, monkeypatch):
     unpadded = {p: run(p) for p in (False, True)}
     assert padded == unpadded
     assert padded[False] == padded[True]  # raw == dedup transport
+
+
+def test_kitchen_sink_mesh_job(mesh8, tmp_path):
+    """Cross-feature integration: LPT pre-pass + adaptive dedup +
+    checkpoint/kill/resume + write + content-hash verify + bit-rot repair,
+    all in one distributed job — features that are individually tested
+    must also compose."""
+    import json
+    import os
+
+    from fastkmer_tpu.config import JobConfig
+    from fastkmer_tpu.output import manifest as mf, writer
+    from fastkmer_tpu.parallel.driver import execute_job_distributed
+
+    rng = np.random.default_rng(79)
+    reads = dup_heavy_reads(rng, 96, 120, genome_len=400)
+    reads += random_reads(rng, 32, 120)
+    fa = tmp_path / "ks.fa"
+    fa.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+    cfg = JobConfig(
+        dataset=str(fa), output_directory=str(tmp_path) + "/", prefix="ks_",
+        k=28, m=10, x=3, max_b=64, sequence_type=0, write=True,
+        reads_per_batch=16, read_len=120, use_custom_partitioner=True,
+        num_partition_tasks=4,
+    )
+    ck = str(tmp_path / "ck")
+
+    # interrupted first attempt: checkpoint every 2 batches, die mid-run
+    class Die(RuntimeError):
+        pass
+
+    from fastkmer_tpu.parallel import stream
+
+    orig_feed = stream.DistributedCounter.feed
+    calls = {"n": 0}
+
+    def dying_feed(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 5:
+            raise Die()
+        return orig_feed(self, *a, **kw)
+
+    stream.DistributedCounter.feed = dying_feed
+    try:
+        with pytest.raises(Die):
+            execute_job_distributed(
+                cfg, mesh8, verbose=False, checkpoint_dir=ck,
+                checkpoint_interval=2, prededup=None,
+            )
+    finally:
+        stream.DistributedCounter.feed = orig_feed
+    assert os.listdir(ck), "no checkpoint persisted before the crash"
+
+    # resumed run completes and writes verified output
+    res = execute_job_distributed(
+        cfg, mesh8, verbose=False, checkpoint_dir=ck,
+        checkpoint_interval=2, prededup=None,
+    )
+    assert not os.listdir(ck)  # cleared on success
+    assert res.balance["imbalance"] >= 1.0  # LPT pre-pass ran
+    expect = dict(oracles.count_reads(reads, 28))
+    kmers = bits.decode_words_batch(res.words, 28)
+    got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+    assert got == expect
+
+    status = mf.verify_output(cfg.output_dir)
+    assert status["ok"], status
+
+    # bit-rot one bin (same line count) -> verify fails -> repair restores
+    man = json.load(open(os.path.join(cfg.output_dir, "manifest.json")))
+    victim = sorted(man["bins"])[0]
+    vpath = os.path.join(cfg.output_dir, f"bin{victim}")
+    data = bytearray(open(vpath, "rb").read())
+    pos = data.index(b"\t") + 1
+    data[pos] = ord("7") if data[pos] != ord("7") else ord("5")
+    open(vpath, "wb").write(bytes(data))
+    assert not mf.verify_output(cfg.output_dir)["ok"]
+    from fastkmer_tpu import pipeline
+
+    assert pipeline.repair_output(cfg, verbose=False)["ok"]
+    written = {
+        km: c
+        for d in writer.read_output_dir(cfg.output_dir).values()
+        for km, c in d.items()
+    }
+    assert written == expect

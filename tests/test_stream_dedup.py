@@ -417,3 +417,26 @@ def test_kitchen_sink_mesh_job(mesh8, tmp_path):
         for km, c in d.items()
     }
     assert written == expect
+
+
+def test_dedup_k_multiple_of_16_flagged_lane(mesh8, tmp_path):
+    """k % 16 == 0: the streaming driver restores sentinel safety with a
+    constant-zero seq lane; forced dedup must count correctly through that
+    flagged transport too (the lane is a dedup sort key)."""
+    from fastkmer_tpu.config import JobConfig
+    from fastkmer_tpu.parallel.driver import execute_job_distributed
+
+    rng = np.random.default_rng(83)
+    reads = dup_heavy_reads(rng, 64, 120, genome_len=300)
+    fa = tmp_path / "k32.fa"
+    fa.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+    cfg = JobConfig(
+        dataset=str(fa), output_directory=str(tmp_path) + "/", k=32, m=10,
+        x=3, max_b=64, sequence_type=0, write=False,
+        reads_per_batch=16, read_len=120,
+    )
+    res = execute_job_distributed(cfg, mesh8, verbose=False, prededup=True)
+    assert res.n_dedup_batches > 0
+    kmers = bits.decode_words_batch(res.words, 32)
+    got = {km.decode(): int(c) for km, c in zip(kmers, res.counts.tolist())}
+    assert got == dict(oracles.count_reads(reads, 32))

@@ -127,7 +127,11 @@ def test_adaptive_dedup_engages_and_cuts_bytes(mesh8):
 
 def test_adaptive_dedup_disengages_on_distinct_input(mesh8):
     """A distinct-heavy stream must keep (or return to) raw transport:
-    ratio above the threshold disengages after the probe lands."""
+    ratio above the threshold disengages after the probe lands.  Reads are
+    FULL-LENGTH and N-free on purpose: the engage ratio's denominator is
+    the padded position count, and dead slots (short reads, N splits) are
+    rows dedup legitimately compresses away — only a stream whose valid
+    windows are both dense AND distinct should stay raw."""
     from fastkmer_tpu.parallel import partitioner, stream
 
     k, m, B = 28, 10, 64
@@ -138,7 +142,7 @@ def test_adaptive_dedup_disengages_on_distinct_input(mesh8):
     )
     all_reads = []
     for _ in range(4):
-        reads = random_reads(rng, 32, 100)  # near-all-distinct
+        reads = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(32)]
         all_reads.extend(reads)
         ctr.feed(to_batch(reads, 100), n_reads=len(reads))
         if ctr._probe_pending:

@@ -242,8 +242,10 @@ class DistributedCounter:
         # doubled value: the ratio is a GLOBAL average, so a skewed
         # destination can overflow a ratio-sized cap_d repeatedly — without
         # the floor, retry-double -> probe-shrink would oscillate and every
-        # window would re-exchange twice (code-review r4 finding)
-        self._cap_d_floor = 512
+        # window would re-exchange twice (code-review r4 finding).  Starts
+        # at 0 — a nonzero initial floor could push cap_d past tiny
+        # caps/_cap_limit (found by the retry tests at cap=8)
+        self._cap_d_floor = 0
         self._dedup_mode = prededup is True
         self._batch_i = 0
         self.n_dedup_batches = 0
@@ -699,31 +701,35 @@ class DistributedCounter:
             drops = np.asarray(jnp.stack([p.ndrop for p in self.pending]))
             if int(drops.sum()) == 0:
                 return
-            dropped_modes = {
-                p.wts is not None
-                for p, d in zip(self.pending, drops.tolist())
-                if int(d)
-            }
-            raw_dropped = False in dropped_modes
-            dedup_dropped = True in dropped_modes
-            if (raw_dropped and self.cap >= self._cap_limit) or (
-                dedup_dropped and self.cap_d >= self._cap_limit
-            ):
-                which = " and ".join(
-                    s for s, d in (
-                        (f"cap={self.cap} (raw)", raw_dropped),
-                        (f"cap_d={self.cap_d} (dedup)", dedup_dropped),
-                    ) if d
-                )
-                raise RuntimeError(
-                    f"exchange overflow at worst-case capacity {which}: "
-                    f"{int(drops.sum())} entries dropped"
-                )
-            if raw_dropped:
-                self.cap = min(self.cap * 2, self._cap_limit)
+            # each part's dispatch-time capacity is recoverable from its
+            # own shape (lanes = n * cap_at_dispatch) — retunes can change
+            # cap_d mid-window, so the CURRENT cap_d says nothing about
+            # the capacity a dropped part actually ran at.  Overflow is
+            # only unrecoverable when a part dropped AT the worst-case
+            # capacity; otherwise grow past the largest dropped capacity
+            # and replay (strict growth per iteration -> termination).
+            raw_hi = dedup_hi = 0
+            for p, d in zip(self.pending, drops.tolist()):
+                if not int(d):
+                    continue
+                part_cap = int(p.cols[0].shape[-1]) // self.n
+                if part_cap >= self._cap_limit:
+                    mode = "dedup cap_d" if p.wts is not None else "raw cap"
+                    raise RuntimeError(
+                        f"exchange overflow at worst-case {mode}="
+                        f"{part_cap}: {int(drops.sum())} entries dropped"
+                    )
+                if p.wts is not None:
+                    dedup_hi = max(dedup_hi, part_cap)
+                else:
+                    raw_hi = max(raw_hi, part_cap)
+            if raw_hi:
+                self.cap = min(max(self.cap, raw_hi) * 2, self._cap_limit)
                 self._exchange = self._build_exchange()
-            if dedup_dropped:
-                self.cap_d = min(self.cap_d * 2, self._cap_limit)
+            if dedup_hi:
+                self.cap_d = min(
+                    max(self.cap_d, dedup_hi) * 2, self._cap_limit
+                )
                 self._cap_d_floor = self.cap_d  # retunes may not undo this
                 self._exchange_dedup = None
             self.n_retries += 1

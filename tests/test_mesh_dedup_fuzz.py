@@ -54,7 +54,10 @@ def test_mesh_dedup_oscillation_fuzz(mesh8, seed):
         if phase_dup:
             reads = _dup_reads(rng, 32, 80, genome_len=120)
         else:
-            reads = random_reads(rng, 32, 80)
+            # dense full-length distinct reads: stays raw under the
+            # adaptive threshold AND builds unique pressure for spills
+            reads = ["".join(rng.choice(list("ACGT"), size=80))
+                     for _ in range(32)]
         all_reads.extend(reads)
         ctr.feed(to_batch(reads, 80), n_reads=len(reads))
         # land the newest probe scalar so mode flips actually exercise

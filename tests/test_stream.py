@@ -96,9 +96,13 @@ def test_streaming_counter_retries_exchange_overflow(mesh8):
     k, m, B = 28, 10, 64
     rng = np.random.default_rng(23)
     all_reads = []
+    # prededup=False pins the RAW transport: this test is about the raw
+    # retry path, and short random reads would otherwise engage dedup
+    # under the adaptive threshold (dead padded slots count as
+    # compressible rows)
     ctr = stream.DistributedCounter(
         mesh8, k, m, B, cap=8, acc_cap=1 << 14, fanin=2,
-        owner_map=partitioner.hash_owner_map(B, 8),
+        owner_map=partitioner.hash_owner_map(B, 8), prededup=False,
     )
     for _ in range(4):
         reads = random_reads(rng, 32, 100)

@@ -174,8 +174,11 @@ def test_dedup_retries_exchange_overflow(mesh8):
     assert ctr.n_retries > 0 and ctr.cap_d > 8
     # overflow-driven doubling sets a FLOOR: a later low-ratio retune must
     # not shrink cap_d back into the capacity that just dropped (else
-    # retry-double -> probe-shrink oscillates, re-exchanging every window)
-    floor = ctr.cap_d
+    # retry-double -> probe-shrink oscillates, re-exchanging every window).
+    # NB: the final cap_d may legitimately sit ABOVE the floor (a landed
+    # probe can retune upward) — the invariant is cap_d >= floor
+    floor = ctr._cap_d_floor
+    assert floor > 8
     ctr._retune_cap_d(0.0001)
     assert ctr.cap_d >= floor
 

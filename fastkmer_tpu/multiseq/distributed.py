@@ -28,7 +28,8 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
                                      checkpoint_dir: str | None = None,
                                      checkpoint_interval: int = 32,
                                      unique_ub: int | None = None,
-                                     prededup: bool | None = None):
+                                     prededup: bool | None = None,
+                                     keep_table: bool = False):
     """Multi-chip execute_multiseq_job (same MultiseqConfig / result type).
 
     Honors ``use_custom_partitioner``/``num_partition_tasks`` with the same
@@ -53,6 +54,17 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
 
     timer = StageTimer()
     measure = dist_mod.get_measure(cfg.distance_measure)
+    import jax
+
+    if jax.process_count() > 1:
+        # the multiseq driver's ingest is not striped across processes and
+        # its distance accumulation is per-process — running it multi-host
+        # would double-count and emit partial distances.  Explicit error
+        # instead of silent corruption; the count job supports multi-host.
+        raise NotImplementedError(
+            "distributed multiseq runs on a single-process mesh; multi-host "
+            "ingest striping + distance aggregation are not wired for it"
+        )
     n = mesh.shape[AXIS]
     W = num_words(cfg.k)
     R = -(-cfg.reads_per_batch // n) * n
@@ -161,7 +173,8 @@ def execute_multiseq_job_distributed(cfg, mesh: Mesh, cap: int | None = None,
 
     if cfg.write:
         with timer.span("write_output"):
-            _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure)
+            _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure,
+                                   keep_table=keep_table)
     if ckpt is not None:
         ckpt.clear()  # run completed
 

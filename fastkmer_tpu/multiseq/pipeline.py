@@ -223,12 +223,43 @@ def accumulate_distances(
     U = words.shape[0]
     D = np.zeros((S, S), np.float64)
     if U == 0:
+        if measure.operator_kind != "sum":
+            D[:] = measure.init_distance()
+            np.fill_diagonal(D, 0.0)
         return D
     counts = counts.astype(np.float64)
     kchange = np.empty(U, dtype=bool)
     kchange[0] = True
     np.any(words[1:] != words[:-1], axis=1, out=kchange[1:])
     gid = np.cumsum(kchange) - 1  # k-mer group id per row
+
+    # --- operator-generic fold (non-additive distanceOperator plug-ins,
+    # DistanceMeasure.java:16-40): every identity below — tot_a + tot_b +
+    # pair corrections, bilinear Gram products — is a SUM decomposition,
+    # so non-sum measures take the direct fold the reference merge loop
+    # performs (d = op(d, partial(c1, c2)) per distinct k-mer,
+    # SparkMultiSequenceKmerCounter.scala:474-482): dense [g, S] count
+    # blocks, partial evaluated on [g, S, S], folded with the operator.
+    # O(G*S^2) — the reference's own cost for these measures. ---
+    if measure.operator_kind != "sum":
+        D[:] = measure.init_distance()
+        starts = np.flatnonzero(kchange)
+        bounds = np.append(starts, U)
+        n_groups = starts.size
+        group_block = max(1, (1 << 18) // max(S * S, 1))
+        for b0 in range(0, n_groups, group_block):
+            b1 = min(b0 + group_block, n_groups)
+            lo, hi = bounds[b0], bounds[b1]
+            C = np.zeros((b1 - b0, S), np.float64)
+            C[gid[lo:hi] - b0, seqs[lo:hi]] = counts[lo:hi]
+            Pm = measure.partial(C[:, :, None], C[:, None, :])  # [g, S, S]
+            if measure.operator_kind == "product":
+                D *= np.prod(Pm, axis=0)
+            else:
+                for g in range(Pm.shape[0]):  # ordered left fold
+                    D = measure.operator(D, Pm[g])
+        np.fill_diagonal(D, 0.0)
+        return D
 
     # device Gram path: MXU matmuls over the table rows.  ``device=None``
     # resolves to HOST — measured (benchmarks/distance_probe.py): through
@@ -342,6 +373,7 @@ def execute_multiseq_job(
     unique_ub: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 32,
+    keep_table: bool = False,
 ) -> MultiseqResult:
     """Single-chip multiseq job on the counting path's machinery: tagged
     DENSE row packing (multiple reads per row, one sequence per row —
@@ -381,7 +413,9 @@ def execute_multiseq_job(
     W = num_words(cfg.k)
     use_pallas = base.pallas_count_available(cfg.k)
     if device_accumulate is None:
-        device_accumulate = jax.default_backend() != "cpu"
+        # unique_ub is an accumulator contract (sync-free feed): honoring
+        # it means taking the accumulator path on every backend
+        device_accumulate = unique_ub is not None or jax.default_backend() != "cpu"
     acc = (
         base.DeviceAccumulator(
             cfg.k, m=cfg.m, B=cfg.b, extra_lanes=1, unique_ub=unique_ub
@@ -468,7 +502,8 @@ def execute_multiseq_job(
 
     if cfg.write:
         with timer.span("write_output"):
-            _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure)
+            _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure,
+                                   keep_table=keep_table)
     if ckpt is not None:
         ckpt.clear()  # run completed
 
@@ -477,17 +512,26 @@ def execute_multiseq_job(
     )
 
 
-def _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure) -> None:
+def _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure,
+                           keep_table: bool = False) -> None:
     """Bin files (per-k-mer SUM over sequences,
     SparkMultiSequenceKmerCounter.scala:487) + distances.json + a manifest
     whose extra_files entry checksums the distances — so verify_output
-    covers a multiseq directory completely (VERDICT r2 weak #8)."""
+    covers a multiseq directory completely (VERDICT r2 weak #8).
+
+    ``use_kryo_serializer`` selects the binary format like the count job
+    (the reference multiseq CLI parses useKryo but silently drops it,
+    TestMultisequenceKmerCounter.scala:42 — here it takes effect)."""
     import dataclasses
 
     from ..output import manifest as manifest_mod
 
     uw, uc, ub = _sum_over_sequences(words, counts, bins)
-    hashes = writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
+    hashes = None
+    if cfg.use_kryo_serializer:
+        writer.write_binary(cfg.output_dir, uw, uc, ub, cfg.k)
+    else:
+        hashes = writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
     dpath = _write_distances(cfg.output_dir, pair_dist, measure)
     cfg_dict = {
         key: v for key, v in dataclasses.asdict(cfg).items() if not callable(v)
@@ -497,6 +541,12 @@ def _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure) -> None
         extra_files={"distances.json": manifest_mod.file_sha256(dpath)},
         bin_hashes=hashes,
     )
+    if keep_table:
+        # the summed table is what the bin files render, so the sidecar's
+        # checksum matches the manifest and repair_output can rewrite
+        # damaged bins without recounting (the distances.json sibling is
+        # verified, not repairable — it needs the per-seq table)
+        manifest_mod.write_table_sidecar(cfg.output_dir, uw, uc, ub)
 
 
 def _sum_over_sequences(words, counts, bins):

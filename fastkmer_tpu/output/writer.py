@@ -116,9 +116,14 @@ def _format_lines(words: np.ndarray, counts: np.ndarray, k: int) -> bytes:
     )
 
 
-def write_binary(out_dir: str, words: np.ndarray, counts: np.ndarray, bins: np.ndarray, k: int) -> str:
+def write_binary(out_dir: str, words: np.ndarray, counts: np.ndarray,
+                 bins: np.ndarray, k: int, name: str = "counts.npz") -> str:
+    """Binary output (enableKryo=1): the npz replacement for the
+    reference's Kryo-serialized variant (SparkBinKmerCounter.scala:557-558).
+    Multi-host mesh writers pass per-process ``name`` shards (disjoint bin
+    sets; the union is the full table)."""
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "counts.npz")
+    path = os.path.join(out_dir, name)
     np.savez_compressed(path, words=words, counts=counts, bins=bins, k=np.int32(k))
     return path
 

@@ -669,8 +669,28 @@ def count_batches(
     n_bases = 0
     W = num_words(k)
     use_pallas = engine == "sort" and pallas_count_available(k)
+    if unique_ub is not None and engine != "sort":
+        # no silent flag drops: the HT engine's per-batch loop has no
+        # host-side room checks to elide (the collision flag is already a
+        # carried device scalar checked once) — nothing for the assertion
+        # to buy, so asserting it is a caller error, not a no-op
+        raise NotImplementedError(
+            "unique_ub (sync-free accumulator feed) is a sort-engine "
+            "feature; the HT engine has no per-batch sync to skip"
+        )
+    if prededup is True and engine != "sort":
+        raise NotImplementedError(
+            "prededup (per-batch count+compact) feeds the sort-engine "
+            "accumulator; the HT engine already counts per batch"
+        )
     if device_accumulate is None:
-        device_accumulate = engine == "sort" and jax.default_backend() != "cpu"
+        # unique_ub and a forced prededup are accumulator contracts —
+        # honoring them means taking the accumulator path on every
+        # backend (CPU included), not just off-CPU
+        device_accumulate = engine == "sort" and (
+            unique_ub is not None or prededup is True
+            or jax.default_backend() != "cpu"
+        )
     device_accumulate = device_accumulate and engine == "sort"
     # k % 16 == 0: the bare sentinel is ambiguous; a constant-zero trailing
     # lane restores it (_batch_extract_keys_flagged), so the deferred
@@ -686,7 +706,16 @@ def count_batches(
     PROBE_EVERY, ENGAGE_BELOW = 16, 0.20
     DEDUP_INFLIGHT = 4  # dedup parts awaiting their overflow scalar
     if flagged:
-        prededup = False  # probe/dedup paths are W-lane shaped
+        # probe/dedup paths are W-lane shaped; k % 16 == 0 rides the
+        # flagged extra lane.  Adaptive quietly stays raw; a FORCED
+        # prededup must not be silently dropped (the mesh path supports
+        # flagged x dedup — single-chip does not)
+        if prededup is True:
+            raise NotImplementedError(
+                "single-chip prededup does not cover k % 16 == 0 (the "
+                "flagged-lane extraction); use the mesh path or adaptive"
+            )
+        prededup = False
     dedup_mode = prededup is True
     probe_pending: list = []  # (positions, prefetched n_unique scalar)
     # dedup parts are held OUT of the accumulator until their per-batch

@@ -15,6 +15,10 @@ CONFIGS = [
     (33, 14), (47, 8), (48, 6), (49, 13), (64, 10),
     # W > 4 (still within the Pallas kernel's k <= 128 range)
     (75, 10), (97, 12),
+    # k > 128 (W > 8): past the Pallas extract's boundary (auto-fallback
+    # to the jnp path) and the native merge's packed-key fast paths — the
+    # reference Kmer is arbitrary-length (package.scala:138-503)
+    (129, 12), (155, 10), (201, 14),
 ]
 
 

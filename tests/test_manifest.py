@@ -156,6 +156,62 @@ def test_checkpoint_resume_distributed(tmp_path, monkeypatch):
     assert ckpt.completed_batches() == 0  # cleared after completion
 
 
+def test_checkpoint_resume_perbatch_mesh(tmp_path, monkeypatch):
+    """Kill-and-resume on the PER-BATCH mesh paths (smer transport and the
+    HT engine) — round-4 VERDICT weak #1: checkpoint_dir used to be
+    silently ignored there.  The compacted batch parts are the checkpoint
+    unit; resume re-splits them by owner_map[bins] into the same per-chip
+    merges, so the resumed table must be identical."""
+    import jax
+    import pytest
+
+    from fastkmer_tpu.ingest import batch as batching
+    from fastkmer_tpu.parallel import driver, exchange
+
+    fa, reads = _mk_dataset(tmp_path, n=40, seed=21)
+    mesh = jax.make_mesh((4,), (exchange.AXIS,), devices=jax.devices("cpu")[:4])
+    real_batch_file = batching.batch_file
+
+    for label, kw in (
+        ("smer", dict(smer_transport=True, smax=64)),
+        ("ht", dict()),
+    ):
+        cfg = JobConfig(
+            dataset=fa, output_directory=str(tmp_path) + f"/pb_{label}_",
+            k=25, m=8, max_b=32, reads_per_batch=8, read_len=256, write=False,
+            use_ht=(label == "ht"),
+        )
+        ref = driver.execute_job_distributed(cfg, mesh, verbose=False, **kw)
+        assert not ref.timings.get("checkpoint")
+
+        def dying_batch_file(*a, **kwargs):
+            for i, b in enumerate(real_batch_file(*a, **kwargs)):
+                if i == 3:
+                    raise KeyboardInterrupt
+                yield b
+
+        ck = str(tmp_path / f"ckpt_pb_{label}")
+        monkeypatch.setattr(batching, "batch_file", dying_batch_file)
+        with pytest.raises(KeyboardInterrupt):
+            driver.execute_job_distributed(
+                cfg, mesh, verbose=False, checkpoint_dir=ck,
+                checkpoint_interval=2, **kw,
+            )
+        monkeypatch.setattr(batching, "batch_file", real_batch_file)
+        ckpt = mf.BatchCheckpointer(ck)
+        assert ckpt.completed_batches() == 2
+
+        res = driver.execute_job_distributed(
+            cfg, mesh, verbose=False, checkpoint_dir=ck,
+            checkpoint_interval=2, **kw,
+        )
+        np.testing.assert_array_equal(res.words, ref.words)
+        np.testing.assert_array_equal(res.counts, ref.counts)
+        np.testing.assert_array_equal(res.bins, ref.bins)
+        assert res.n_reads == ref.n_reads and res.n_bases == ref.n_bases
+        assert ckpt.completed_batches() == 0  # cleared after completion
+
+
 def test_checkpoint_rollback(tmp_path):
     """rollback_to discards spills past an earlier logged cursor — the
     multi-host resume re-alignment primitive (processes can crash between

@@ -125,6 +125,35 @@ def test_adaptive_dedup_engages_and_cuts_bytes(mesh8):
     assert raw.n_dedup_batches == 0
 
 
+def test_adaptive_warmup_engages_short_runs(mesh8):
+    """Warm-up probe schedule (VERDICT r4 weak #2): a SHORT dup-heavy run
+    must engage dedup within the first few batches instead of waiting for
+    the next PROBE_EVERY multiple — on a 16-batch run nearly every batch
+    should ship dedup, and the probe indices stay deterministic (lockstep
+    safety is asserted separately in test_multihost)."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    rng = np.random.default_rng(61)
+    owner = partitioner.hash_owner_map(B, 8)
+    ctr = stream.DistributedCounter(
+        mesh8, k, m, B, cap=2048, acc_cap=1 << 15, owner_map=owner,
+        prededup=None,
+    )
+    all_reads = []
+    for _ in range(16):
+        reads = dup_heavy_reads(rng, 128, 100, genome_len=150)
+        all_reads.extend(reads)
+        ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+        if ctr._probe_pending:  # deterministic: land before the next feed
+            np.asarray(ctr._probe_pending[0][2])
+    assert ctr._dedup_mode
+    # engaged by batch ~2 via the warm-up probes: at most the first two
+    # batches may have shipped raw (probe 0's scalar lands during batch 1)
+    assert ctr.n_dedup_batches >= 14, ctr.n_dedup_batches
+    assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
+
+
 def test_adaptive_dedup_disengages_on_distinct_input(mesh8):
     """A distinct-heavy stream must keep (or return to) raw transport:
     ratio above the threshold disengages after the probe lands.  Reads are
@@ -148,7 +177,9 @@ def test_adaptive_dedup_disengages_on_distinct_input(mesh8):
         if ctr._probe_pending:
             np.asarray(ctr._probe_pending[0][2])
     assert not ctr._dedup_mode
-    assert ctr.n_dedup_batches == 1  # the batch-0 probe only
+    # warm-up probes 0,1,2 ran (batch 3 is past the warm-up set and before
+    # the next PROBE_EVERY multiple); none engaged the mode
+    assert ctr.n_dedup_batches == 3
     assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
 
 

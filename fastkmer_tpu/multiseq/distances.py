@@ -26,17 +26,33 @@ class DistanceMeasure:
     name = "multisequence.DistanceMeasure"
     symmetric = True
     internal_product = False
+    # distanceOperator kind (DistanceMeasure.java:16-40 allows sum OR
+    # product plug-ins; hasInternalProduct):
+    #   "sum"     — acc + cur, init 0.  Unlocks the bilinear/Gram fast
+    #               paths and the O(U*S) generic sweep.
+    #   "product" — acc * cur, init 1 (a plug-in should also override
+    #               init_distance/operator to match).  Accumulated by the
+    #               operator-generic fold in accumulate_distances:
+    #               partial(0, 0) contributes to EVERY pair for every
+    #               distinct k-mer, exactly like the reference merge loop
+    #               (SparkMultiSequenceKmerCounter.scala:474-482).
+    #   anything else — an ordered left fold applying ``operator`` per
+    #               distinct k-mer (slowest, fully general).
+    operator_kind = "sum"
 
     def init_distance(self) -> float:
         return 0.0
 
     def partial(self, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
         """Vectorized computePartialDistance over count-pair arrays.
-        Must satisfy partial(0, 0) == 0."""
+        Sum measures must satisfy partial(0, 0) == 0 (the sweep identity
+        depends on it); non-sum measures carry no such constraint — their
+        fold evaluates every (group, pair) cell."""
         raise NotImplementedError
 
     def operator(self, acc, cur):
-        """distanceOperator — sum for every measure shipped here."""
+        """distanceOperator — override together with ``operator_kind``
+        (and ``init_distance``) for non-additive plug-ins."""
         return acc + cur
 
     def bilinear_terms(self, C: np.ndarray):

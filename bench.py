@@ -141,6 +141,30 @@ def run_step(staged) -> float:
     return R * L * iters / (time.perf_counter() - t0) / 1e9
 
 
+def run_controller(staged, prededup) -> tuple[float, dict]:
+    """The PRODUCTION single-chip controller (pipeline.count_batches):
+    warm-up + cadence probes, engage/disengage, in-flight dedup admission.
+    ``prededup`` None = adaptive, True = forced dedup, False = forced raw —
+    all three measured through the IDENTICAL harness (same final table
+    pull), so adaptive-vs-forced ratios are apples to apples (the warm-up
+    schedule's acceptance gate, VERDICT r4 #2)."""
+    from fastkmer_tpu import pipeline
+
+    def feed():
+        return pipeline.count_batches(
+            ((c, 0, 0) for c in staged), K, M, B, unique_ub=GENOME,
+            prededup=prededup, device_accumulate=True,
+        )
+
+    t = time.perf_counter()
+    res = feed()  # warmup: compiles extract, probe count, dedup, merges
+    log(f"warmup {time.perf_counter() - t:.1f}s uniques={res.words.shape[0]}")
+    t0 = time.perf_counter()
+    res = feed()
+    dt = time.perf_counter() - t0
+    return dt, {"n_unique": int(res.words.shape[0]), "overflow": 0}
+
+
 def main() -> None:
     global GENOME
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
@@ -148,6 +172,7 @@ def main() -> None:
         # duplication-heavy workload: 2 Mbp genome -> ~8x IN-BATCH coverage
         # (the regime where per-batch pre-dedup pays; VERDICT #9)
         GENOME = 1 << 21
+    GENOME = int(_os.environ.get("FASTKMER_BENCH_GENOME", GENOME))
     import jax
 
     from fastkmer_tpu import pipeline  # noqa: F401  (enables the XLA cache)
@@ -162,7 +187,12 @@ def main() -> None:
         gbps = run_step(staged)
         metric = "count_step_throughput_k28_m10"
     else:
-        dt, stats = run_stream(staged, mode)
+        if mode in ("adaptive", "forced", "raw"):
+            dt, stats = run_controller(
+                staged, {"adaptive": None, "forced": True, "raw": False}[mode]
+            )
+        else:
+            dt, stats = run_stream(staged, mode)
         bases = NBATCH * R * L
         gbps = bases / dt / 1e9
         log(f"{mode}: {bases/1e6:.0f} Mbp in {dt:.2f}s, uniques={stats['n_unique']}")

@@ -704,6 +704,11 @@ def count_batches(
         else None
     )
     PROBE_EVERY, ENGAGE_BELOW = 16, 0.20
+    # short runs must engage within a couple of batches, not after the
+    # first 16-batch window (the mesh controller's schedule,
+    # parallel.stream.WARMUP_PROBES; measured round-4 gap ~30% on a
+    # 16-batch dup workload).  Static set: deterministic probe indices.
+    WARMUP_PROBES = frozenset((0, 1, 2, 4, 8))
     DEDUP_INFLIGHT = 4  # dedup parts awaiting their overflow scalar
     if flagged:
         # probe/dedup paths are W-lane shaped; k % 16 == 0 rides the
@@ -776,7 +781,7 @@ def count_batches(
         probe = (
             acc is not None
             and prededup is None
-            and batch_idx % PROBE_EVERY == 0
+            and (batch_idx % PROBE_EVERY == 0 or batch_idx in WARMUP_PROBES)
         )
         with timer.span("device_count"):
             if engine == "hash":

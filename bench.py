@@ -73,11 +73,23 @@ def run_stream(staged, mode: str) -> tuple[float, dict]:
         import jax.numpy as jnp
 
         pre_over = jnp.zeros((), jnp.int32)
+        npos = R * (L - K + 1)
+        dcap = (npos + (-npos % (1 << 16))) // 4
         for i, codes in enumerate(staged):
-            if mode == "percount" or (mode == "stream" and i % 16 == 0):
-                # "stream" probes every 16th batch exactly like
-                # count_batches's adaptive pre-dedup switch — the bench
-                # loop IS the production loop
+            if mode == "stream" and (i in (0, 1, 2) or i % 16 == 0):
+                # production probe cost on a distinct-heavy stream: the
+                # adaptive controller's probe IS a dedup attempt (warm-up
+                # 0,1,2 — later indices are past the first landed decision
+                # at DEDUP_LAG — then every 16th); at this workload's
+                # ratio (~0.63 > dcap/npos) it overflows and the batch is
+                # re-fed raw — both dispatches are in the timed region,
+                # exactly like count_batches
+                _dc, _dw, _nu, over, raw_cols = pipeline._batch_count_dedup(
+                    codes, K, M, B, dcap, use_pallas
+                )
+                pre_over = pre_over + (over > 0)  # fenced via stats below
+                acc.add_raw(raw_cols)  # overflow fallback: no re-extraction
+            elif mode == "percount":
                 if use_pallas:
                     sc = pipeline._batch_count_pallas(codes, K, M, B, with_bins=False)
                 else:
@@ -86,7 +98,7 @@ def run_stream(staged, mode: str) -> tuple[float, dict]:
             elif mode == "dedup":
                 npos = R * (L - K + 1)
                 dcap = (npos + (-npos % (1 << 16))) // 4
-                dcols, dwts, _nu, over = pipeline._batch_count_dedup(
+                dcols, dwts, _nu, over, _raw = pipeline._batch_count_dedup(
                     codes, K, M, B, dcap, use_pallas
                 )
                 pre_over = pre_over + over  # lazy device add, no sync

@@ -20,6 +20,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Iterable, NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -153,11 +155,6 @@ def _pack_stats(n_unique, overflow):
     return jnp.stack([n_unique.astype(jnp.int32), overflow.astype(jnp.int32)])
 
 
-@jax.jit
-def _batch_nuniq(sc: count_sort.SortedCounts) -> jnp.ndarray:
-    return jnp.sum(sc.is_uniq.astype(jnp.int32))
-
-
 @partial(jax.jit, static_argnames=("k", "m", "B", "cap", "use_pallas"))
 def _batch_count_dedup(
     codes: jnp.ndarray, k: int, m: int, B: int, cap: int, use_pallas: bool,
@@ -170,24 +167,30 @@ def _batch_count_dedup(
     distinct ratio is well under cap/positions (count_batches probes and
     switches adaptively).
 
-    Returns (ccols, wts, n_u, over): per-BATCH unique count and compaction
-    overflow scalars.  The caller prefetches both without blocking and,
-    when ``over`` lands nonzero, falls back to re-feeding THAT batch raw
-    (lossless — an input whose duplication ratio flips right after a probe
-    can exceed the cap, and dropping its uniques or aborting the run would
-    make the adaptive default unsafe on oscillating inputs)."""
+    Returns (ccols, wts, n_u, over, raw_cols): per-BATCH unique count and
+    compaction overflow scalars, plus the PRE-SORT extracted key columns.
+    The caller prefetches the scalars without blocking and, when ``over``
+    lands nonzero, falls back to re-feeding THAT batch raw (lossless — an
+    input whose duplication ratio flips right after a probe can exceed
+    the cap, and dropping its uniques or aborting the run would make the
+    adaptive default unsafe on oscillating inputs).  ``raw_cols`` makes
+    that fallback free of a second extraction pass: the overflow path
+    admits the already-extracted columns directly (an extra W·npos·4 B of
+    HBM output traffic — trivial next to the sort — in exchange for
+    halving the cost of a failed probe)."""
     cols = _batch_extract_keys(codes, k, m, B, use_pallas)
     N = cols[0].shape[0]
     pad = -N % (1 << 16)  # compact block granularity
+    pcols = cols
     if pad:
         ones = jnp.uint32(0xFFFFFFFF)
-        cols = tuple(jnp.concatenate([c, jnp.full(pad, ones, jnp.uint32)]) for c in cols)
-    sc = count_sort.count_presentineled(list(cols))
+        pcols = tuple(jnp.concatenate([c, jnp.full(pad, ones, jnp.uint32)]) for c in cols)
+    sc = count_sort.count_presentineled(list(pcols))
     ccols, wts, n_u, over = count_sort.compact_marked(
         tuple(sc.words[:, w] for w in range(sc.words.shape[1])),
         sc.counts, sc.is_uniq, cap, pallas=pallas_sort_available(),
     )
-    return ccols, wts, n_u, over
+    return ccols, wts, n_u, over, cols
 
 
 @partial(jax.jit, static_argnames=("acc_cap", "lanes"))
@@ -658,10 +661,13 @@ def count_batches(
 
     ``prededup`` — per-batch count+compact before accumulation (pays on
     DUP-HEAVY inputs where the in-batch distinct ratio is low; the
-    reference's (k,x) compression idea).  None (default) = adaptive: every
-    16th batch is a probe whose distinct count is prefetched without
-    blocking, and the mode follows the measured in-batch ratio (engage
-    under 0.20 = the compaction cap's headroom).  True/False force it.
+    reference's (k,x) compression idea).  None (default) = adaptive, the
+    mesh controller's design (parallel.stream): probe batches (warm-up
+    0,1,2,4,8 until the first decision lands, then every 16th) run the
+    dedup attempt itself — a fit admits the compact part and its
+    prefetched distinct count steers the mode (engage under 0.20); an
+    overflow at the npos/4 cap implies ratio > 0.25 and is recounted raw.
+    True/False force the mode.
     """
     timer = timer or StageTimer()
     parts = []
@@ -705,11 +711,21 @@ def count_batches(
     )
     PROBE_EVERY, ENGAGE_BELOW = 16, 0.20
     # short runs must engage within a couple of batches, not after the
-    # first 16-batch window (the mesh controller's schedule,
-    # parallel.stream.WARMUP_PROBES; measured round-4 gap ~30% on a
-    # 16-batch dup workload).  Static set: deterministic probe indices.
-    WARMUP_PROBES = frozenset((0, 1, 2, 4, 8))
-    DEDUP_INFLIGHT = 4  # dedup parts awaiting their overflow scalar
+    # first 16-batch window (the mesh controller's idea, parallel.stream
+    # WARMUP_PROBES; measured round-4 gap ~30% on a 16-batch dup
+    # workload).  Static set: deterministic probe indices.  The set stops
+    # at 2 because probe 0's decision lands at batch DEDUP_LAG and
+    # disables further warm-up (warmup_active) — on distinct-heavy input
+    # each warm-up probe is a wasted dedup attempt + raw recount (~2x a
+    # raw batch), so the set is exactly the indices that can dispatch
+    # before the first decision can possibly land.
+    WARMUP_PROBES = frozenset((0, 1, 2))
+    # batches between a dedup dispatch and its deterministic admission:
+    # deep enough that the prefetched scalars have landed (blocking read
+    # is then free) and the dispatch pipeline stays full; still a FIXED
+    # index lag, so admission order/timing is a pure function of the input
+    # (TPU sweep lag 3/6/10: throughput flat within noise)
+    DEDUP_LAG = int(os.environ.get("FASTKMER_DEDUP_LAG", "4"))
     if flagged:
         # probe/dedup paths are W-lane shaped; k % 16 == 0 rides the
         # flagged extra lane.  Adaptive quietly stays raw; a FORCED
@@ -722,41 +738,51 @@ def count_batches(
             )
         prededup = False
     dedup_mode = prededup is True
-    probe_pending: list = []  # (positions, prefetched n_unique scalar)
-    # dedup parts are held OUT of the accumulator until their per-batch
-    # compaction-overflow scalar lands (prefetched, polled with is_ready —
-    # never a sync): a clean part joins via add_part; an overflowed one is
-    # re-extracted RAW from the retained codes and joins via add_raw, so an
-    # input whose duplication ratio flips mid-stream can never lose counts
-    # or abort the run (adversarial-oscillation safety; the queue is
-    # bounded, blocking only if scalars lag DEDUP_INFLIGHT batches behind)
-    dedup_pending: list = []  # (codes, dcols, dwts, positions, n_u, over)
+    warmup_active = True  # warm-up probes run until a decision lands
+    # dedup parts are held OUT of the accumulator for DEDUP_LAG batches
+    # and admitted at a DETERMINISTIC dispatch-index lag (the mesh
+    # controller's lockstep-consumption idea, parallel.stream.PROBE_LAG):
+    # by admission time the prefetched overflow/distinct scalars have
+    # normally landed, so the blocking read is free, and mode flips /
+    # window flushes happen at indices that are a pure function of the
+    # INPUT, not of scalar-landing timing — merge windows then compose
+    # identically across reruns, keeping the _MERGE_JIT variant set small
+    # and warm (is_ready-timed admission measured ~35-55 s of per-run
+    # NEW-variant compiles through the remote hop on the 16-batch dup
+    # bench).  An overflowed batch admits its retained raw-extraction
+    # columns — never dropped, never fatal (adversarial-oscillation
+    # safety).  Holding raw_cols for DEDUP_LAG batches pins
+    # LAG * W * npos * 4 B of HBM (~0.5 GB at the production shape) —
+    # the price of the free overflow fallback.
+    dedup_pending: list = []  # (dispatch_idx, raw_cols, dcols, dwts, pos, n_u, over)
 
-    def _admit_dedup(entry, block: bool) -> bool:
-        """Admit one in-flight dedup part into the accumulator once its
-        per-batch scalars have landed (non-blocking unless the queue is
-        full or a checkpoint/finalize needs completeness).  Overflowed
-        batches are re-fed RAW from the retained codes — never dropped,
-        never fatal."""
-        nonlocal dedup_mode
-        codes_q, qcols, qwts, qpos, q_nu, q_over = entry
-        if not block:
-            try:
-                if not q_over.is_ready():
-                    return False
-            except AttributeError:
-                pass
+    def _admit_dedup(entry) -> None:
+        nonlocal dedup_mode, warmup_active
+        _, raw_q, qcols, qwts, qpos, q_nu, q_over = entry
         if int(np.asarray(q_over)):
-            # the input turned distinct-heavy mid-window: this batch's
-            # compaction dropped uniques — recount it raw (lossless) and,
-            # in adaptive mode, disengage
-            acc.add_raw(_batch_extract_keys(codes_q, k, m, B, use_pallas))
+            # the input turned distinct-heavy: this batch's compaction
+            # dropped uniques — close the (dedup-shaped) merge window and
+            # admit the batch's ALREADY-EXTRACTED raw columns (lossless,
+            # no second extraction pass); in adaptive mode disengage.
+            # Homogeneous windows keep the merge-jit variant set bounded:
+            # a mixed-composition window is a fresh trace + a remote-hop
+            # compile.
+            acc._merge_pending()
+            acc.add_raw(raw_q)
             if prededup is None:
                 dedup_mode = False
-        else:
-            acc.add_part(qcols, qwts)
-            probe_pending.append((qpos, q_nu))
-        return True
+            warmup_active = False
+            return
+        acc.add_part(qcols, qwts)
+        if prededup is None:
+            ratio = int(np.asarray(q_nu)) / max(qpos, 1)
+            new_mode = ratio < ENGAGE_BELOW
+            if new_mode != dedup_mode:
+                # close the window at a mode flip so raw and dedup parts
+                # never mix in one merge (bounded jit variant set)
+                acc._merge_pending()
+            dedup_mode = new_mode
+        warmup_active = False
 
     skip = 0
     persisted_spills = 0
@@ -778,35 +804,43 @@ def count_batches(
             n_reads += nr
             n_bases += nb
             continue
+        # admit lagged dedup parts FIRST: mode decisions from batch
+        # j - DEDUP_LAG take effect on this batch's dispatch kind
+        if acc is not None and dedup_pending:
+            with timer.span("device_merge"):
+                while (
+                    dedup_pending
+                    and dedup_pending[0][0] <= batch_idx - DEDUP_LAG
+                ):
+                    _admit_dedup(dedup_pending.pop(0))
+        # the dedup attempt IS the probe (the mesh controller's design,
+        # parallel.stream): a probe batch runs _batch_count_dedup at
+        # dcap = npos/4 — if it fits, the compact part is admitted AND its
+        # distinct-count scalar steers the mode; if it overflows (ratio >
+        # 0.25 > ENGAGE), _admit_dedup recounts it raw and disengages.
+        # Compared to the old full-count probe this (a) costs dedup-price
+        # on dup-heavy input instead of a 2x count, and (b) keeps every
+        # part one of TWO shapes (raw [npos] / dedup [dcap]) in
+        # homogeneous merge windows (flush at flips)
         probe = (
             acc is not None
             and prededup is None
-            and (batch_idx % PROBE_EVERY == 0 or batch_idx in WARMUP_PROBES)
+            and not dedup_mode
+            and (
+                batch_idx % PROBE_EVERY == 0
+                or (warmup_active and batch_idx in WARMUP_PROBES)
+            )
         )
         with timer.span("device_count"):
             if engine == "hash":
                 sc, coll_flag = _batch_count_ht(jnp.asarray(codes), coll_flag, k, m, B)
-            elif acc is not None and probe:
-                # probe batch: full per-batch count; its distinct count is
-                # prefetched (no sync) and steers the dedup_mode switch
-                if use_pallas:
-                    sc = _batch_count_pallas(jnp.asarray(codes), k, m, B, with_bins=False)
-                else:
-                    sc = _batch_count(jnp.asarray(codes), k, m, B)
-                R_, L_ = codes.shape
-                nu = _batch_nuniq(sc)
-                try:
-                    nu.copy_to_host_async()
-                except AttributeError:
-                    pass
-                probe_pending.append((R_ * max(L_ - k + 1, 1), nu))
-            elif acc is not None and dedup_mode:
+            elif acc is not None and (dedup_mode or probe):
                 sc = None
                 R_, L_ = codes.shape
                 npos = R_ * (L_ - k + 1)
                 dcap = (npos + (-npos % (1 << 16))) // 4
                 codes_d = jnp.asarray(codes)
-                dcols, dwts, d_nu, d_over = _batch_count_dedup(
+                dcols, dwts, d_nu, d_over, d_raw = _batch_count_dedup(
                     codes_d, k, m, B, dcap, use_pallas
                 )
                 for a in (d_nu, d_over):
@@ -828,30 +862,12 @@ def count_batches(
                 sc = _batch_count(jnp.asarray(codes), k, m, B)
         if acc is not None:
             with timer.span("device_merge"):
-                if probe:
-                    acc.add(sc)
-                elif dedup_mode:
+                if dedup_mode or probe:
                     dedup_pending.append(
-                        (codes_d, dcols, dwts, npos, d_nu, d_over)
+                        (batch_idx, d_raw, dcols, dwts, npos, d_nu, d_over)
                     )
                 else:
                     acc.add_raw(cols)
-                while dedup_pending and _admit_dedup(
-                    dedup_pending[0], len(dedup_pending) > DEDUP_INFLIGHT
-                ):
-                    dedup_pending.pop(0)
-            # non-blocking mode update from landed probe/dedup stats
-            while probe_pending:
-                try:
-                    ready = probe_pending[0][1].is_ready()
-                except AttributeError:
-                    ready = True
-                if not ready:
-                    break
-                pos, arr = probe_pending.pop(0)
-                ratio = int(np.asarray(arr)) / max(pos, 1)
-                if prededup is None:
-                    dedup_mode = ratio < ENGAGE_BELOW
             if (
                 checkpointer is not None
                 and (batch_idx + 1) % checkpointer.interval == 0
@@ -863,7 +879,7 @@ def count_batches(
                     # overflowed part's raw recount must not be lost to a
                     # crash (the device counters do not survive the process)
                     while dedup_pending:
-                        _admit_dedup(dedup_pending.pop(0), True)
+                        _admit_dedup(dedup_pending.pop(0))
                     acc._merge_pending()
                     stats = acc._stats()
                     acc._raise_if_lost(stats)
@@ -890,7 +906,7 @@ def count_batches(
             "64-bit fingerprint collision; re-run with the sort engine"
         )
     while dedup_pending:  # drain in-flight dedup parts before finalize
-        _admit_dedup(dedup_pending.pop(0), True)
+        _admit_dedup(dedup_pending.pop(0))
     with timer.span("merge"):
         if acc is not None:
             words, counts, bins = acc.finalize()

@@ -178,8 +178,9 @@ class DistributedCounter:
     # engage threshold, bracketed ON TPU (benchmarks/mesh_dedup_probe.py,
     # forced-dedup vs raw at per-chip distinct ratio r): r=0.125 -> 1.44x
     # win, r=0.25 -> 1.29x win, r=0.44 -> 0.82x LOSS; break-even ~0.35.
-    # 0.30 engages with margin below it.  (The single-chip pre-dedup keeps
-    # its own 0.20 — its economics lack the exchange-byte win.)
+    # 0.30 engages with margin below it.  (The single-chip pre-dedup has
+    # its own 0.24 — its dedup-as-probe cap bounds engagement at 0.25 and
+    # its economics lack the exchange-byte win; pipeline.count_batches.)
     ENGAGE_BELOW = 0.30
     PROBE_LAG = 16  # batches before a probe scalar is consumed (multi-host)
 

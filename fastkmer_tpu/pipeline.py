@@ -665,8 +665,9 @@ def count_batches(
     mesh controller's design (parallel.stream): probe batches (warm-up
     0,1,2,4,8 until the first decision lands, then every 16th) run the
     dedup attempt itself — a fit admits the compact part and its
-    prefetched distinct count steers the mode (engage under 0.20); an
-    overflow at the npos/4 cap implies ratio > 0.25 and is recounted raw.
+    prefetched distinct count steers the mode (engage under 0.24, TPU-
+    bracketed); an overflow at the npos/4 cap implies ratio > 0.25 and
+    the batch's retained raw columns are admitted instead.
     True/False force the mode.
     """
     timer = timer or StageTimer()
@@ -709,7 +710,14 @@ def count_batches(
         if device_accumulate
         else None
     )
-    PROBE_EVERY, ENGAGE_BELOW = 16, 0.20
+    # ENGAGE_BELOW: bracketed on TPU at the fanin-16 cadence through the
+    # production controller harness (bench.py forced vs raw, round 5):
+    # ratio 0.125 -> forced 1.14x win, 0.186 -> 1.20x, 0.215 -> 1.18x,
+    # 0.247 (the probe's dcap ratio cap) -> 1.10x.  Forced wins at every
+    # ENGAGEABLE ratio, so the threshold sits just under the 0.25 cap
+    # (beyond which the probe overflows and dedup cannot engage at all).
+    # Was 0.20 (round-2 calibration at the old fanin-4 cadence).
+    PROBE_EVERY, ENGAGE_BELOW = 16, 0.24
     # short runs must engage within a couple of batches, not after the
     # first 16-batch window (the mesh controller's idea, parallel.stream
     # WARMUP_PROBES; measured round-4 gap ~30% on a 16-batch dup

@@ -29,7 +29,7 @@ def mesh8():
 
 def genome_reads(rng, genome: str, n: int, length: int):
     """Reads sampled from one small genome: heavy duplication (in-batch
-    distinct ratio << the 0.20 engage threshold)."""
+    distinct ratio << the engage threshold)."""
     out = []
     for _ in range(n):
         s = int(rng.integers(0, len(genome) - length + 1))
@@ -106,6 +106,62 @@ def test_adaptive_oscillation_with_spills_exact(monkeypatch):
     run_and_check(all_reads, batches, prededup=None)
     assert dedup_calls["n"] > 0, "adaptive mode never engaged pre-dedup"
     assert spills["n"] > 0, "run never spilled (resize workload)"
+
+
+def test_adaptive_controller_is_deterministic(monkeypatch):
+    """Two identical adaptive runs must make IDENTICAL mode decisions and
+    merge-window compositions (dispatch kinds + merge points): admission
+    happens at a fixed dispatch-index lag, never on scalar-landing timing.
+    Nondeterministic compositions would retrace the merge jit per run —
+    measured as tens of seconds of per-run recompiles through a remote
+    TPU's compile hop."""
+    from fastkmer_tpu import pipeline
+
+    def run_once():
+        trace = []
+        orig_dedup = pipeline._batch_count_dedup
+        orig_append = pipeline.DeviceAccumulator._append
+        orig_merge = pipeline.DeviceAccumulator._merge_pending
+
+        def spy_dedup(*a, **k):
+            trace.append("D")
+            return orig_dedup(*a, **k)
+
+        def spy_append(self, part, n):
+            cols, wts = part
+            trace.append(("append", int(cols[0].shape[0]), wts is not None))
+            return orig_append(self, part, n)
+
+        def spy_merge(self):
+            if self.pending:
+                trace.append(("merge", len(self.pending)))
+            return orig_merge(self)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(pipeline, "_batch_count_dedup", spy_dedup), \
+             mock.patch.object(pipeline.DeviceAccumulator, "_append", spy_append), \
+             mock.patch.object(pipeline.DeviceAccumulator, "_merge_pending", spy_merge):
+            rng = np.random.default_rng(77)
+            genome = "".join(rng.choice(list("ACGT"), size=150))
+            batches, all_reads = [], []
+            for phase in ("dup", "distinct", "dup"):
+                for _ in range(8):
+                    if phase == "dup":
+                        reads = genome_reads(rng, genome, 64, 120)
+                    else:
+                        reads = random_reads(rng, 64, L, n_prob=0.0)
+                    all_reads.extend(reads)
+                    batches.append(
+                        (to_batch(reads, L), len(reads), sum(map(len, reads)))
+                    )
+            run_and_check(all_reads, batches, prededup=None)
+        return trace
+
+    t1 = run_once()
+    t2 = run_once()
+    assert t1 == t2
+    assert "D" in t1  # the adaptive path actually engaged dedup attempts
 
 
 def test_streaming_retry_and_spill_same_run(mesh8):

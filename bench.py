@@ -76,10 +76,10 @@ def run_stream(staged, mode: str) -> tuple[float, dict]:
         npos = R * (L - K + 1)
         dcap = (npos + (-npos % (1 << 16))) // 4
         for i, codes in enumerate(staged):
-            if mode == "stream" and (i in (0, 1, 2) or i % 16 == 0):
+            if mode == "stream" and i % 16 == 0:
                 # production probe cost on a distinct-heavy stream: the
                 # adaptive controller's probe IS a dedup attempt (warm-up
-                # 0,1,2 — later indices are past the first landed decision
+                # {0} — later indices are past the first landed decision
                 # at DEDUP_LAG — then every 16th); at this workload's
                 # ratio (~0.63 > dcap/npos) it overflows and the batch is
                 # re-fed raw — both dispatches are in the timed region,

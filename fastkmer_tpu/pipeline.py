@@ -721,19 +721,22 @@ def count_batches(
     # short runs must engage within a couple of batches, not after the
     # first 16-batch window (the mesh controller's idea, parallel.stream
     # WARMUP_PROBES; measured round-4 gap ~30% on a 16-batch dup
-    # workload).  Static set: deterministic probe indices.  The set stops
-    # at 2 because probe 0's decision lands at batch DEDUP_LAG and
-    # disables further warm-up (warmup_active) — on distinct-heavy input
-    # each warm-up probe is a wasted dedup attempt + raw recount (~2x a
-    # raw batch), so the set is exactly the indices that can dispatch
-    # before the first decision can possibly land.
-    WARMUP_PROBES = frozenset((0, 1, 2))
+    # workload).  Static set: deterministic probe indices.  Probe 0's
+    # decision lands deterministically at batch DEDUP_LAG, so extra
+    # warm-up probes only buy dup-engagement DEDUP_LAG-1 batches earlier
+    # — and each costs ~43 ms of wasted dedup attempt on distinct-heavy
+    # input (TPU, headline shape).  Measured: {0} + LAG 3 keeps the
+    # distinct-heavy headline within ~2% of probe-free while a 16-batch
+    # dup run still lands within a few % of forced dedup (BASELINE.md
+    # round 5) — the mesh controller keeps its richer 0,1,2,4,8 set
+    # because ITS probes ride the cheap dedup exchange.
+    WARMUP_PROBES = frozenset((0,))
     # batches between a dedup dispatch and its deterministic admission:
     # deep enough that the prefetched scalars have landed (blocking read
     # is then free) and the dispatch pipeline stays full; still a FIXED
     # index lag, so admission order/timing is a pure function of the input
     # (TPU sweep lag 3/6/10: throughput flat within noise)
-    DEDUP_LAG = int(os.environ.get("FASTKMER_DEDUP_LAG", "4"))
+    DEDUP_LAG = int(os.environ.get("FASTKMER_DEDUP_LAG", "3"))
     if flagged:
         # probe/dedup paths are W-lane shaped; k % 16 == 0 rides the
         # flagged extra lane.  Adaptive quietly stays raw; a FORCED

@@ -78,12 +78,12 @@ def run_stream(staged, mode: str) -> tuple[float, dict]:
         for i, codes in enumerate(staged):
             if mode == "stream" and i % 16 == 0:
                 # production probe cost on a distinct-heavy stream: the
-                # adaptive controller's probe IS a dedup attempt (warm-up
-                # {0} — later indices are past the first landed decision
-                # at DEDUP_LAG — then every 16th); at this workload's
-                # ratio (~0.63 > dcap/npos) it overflows and the batch is
-                # re-fed raw — both dispatches are in the timed region,
-                # exactly like count_batches
+                # adaptive controller's probe IS a dedup attempt, every
+                # 16th batch (decision lands at DEDUP_LAG); at this
+                # workload's ratio (~0.63 > dcap/npos) it overflows and
+                # the batch is re-fed its retained raw columns — both
+                # dispatches are in the timed region, exactly like
+                # count_batches
                 _dc, _dw, _nu, over, raw_cols = pipeline._batch_count_dedup(
                     codes, K, M, B, dcap, use_pallas
                 )

@@ -41,13 +41,18 @@ def file_sha256(path: str) -> str:
 
 def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins,
                    extra_files: dict | None = None,
-                   bin_hashes: dict | None = None) -> str:
+                   bin_hashes: dict | None = None,
+                   binary: bool = False) -> str:
     """``extra_files`` maps sibling artifact names (e.g. multiseq's
     ``distances.json``) to their sha256, so verify_output covers them too.
     ``bin_hashes`` ({bin id: sha256 of the bin file's bytes}, as returned
     by writer.write_bin_files) lets verify_output detect CONTENT
     corruption — a flipped digit with the same line count — not just
-    missing files/lines (VERDICT r3 weak #3)."""
+    missing files/lines (VERDICT r3 weak #3).  ``binary`` marks an
+    enableKryo-style output whose data lives in npz artifacts (carried in
+    ``extra_files`` with their hashes) rather than per-bin text files —
+    verify_output then skips the text-bin checks (the ``bins`` mapping
+    stays as row-count metadata)."""
     os.makedirs(out_dir, exist_ok=True)
     uniq, idx = np.unique(bins, return_counts=True) if bins.size else ([], [])
     manifest = {
@@ -57,6 +62,8 @@ def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins,
         "checksum": table_checksum(words, counts),
         "bins": {int(b): int(c) for b, c in zip(uniq, idx)},
     }
+    if binary:
+        manifest["binary"] = True
     if bin_hashes is not None:
         manifest["bin_sha256"] = {int(b): h for b, h in bin_hashes.items()}
     if extra_files:
@@ -69,7 +76,9 @@ def write_manifest(out_dir: str, cfg_dict: dict, words, counts, bins,
 
 def write_manifest_shard(out_dir: str, cfg_dict: dict, words, counts, bins,
                          process_index: int,
-                         bin_hashes: dict | None = None) -> str:
+                         bin_hashes: dict | None = None,
+                         extra_files: dict | None = None,
+                         binary: bool = False) -> str:
     """Per-process manifest shard for multi-host runs: each process records
     ONLY the bins it wrote (its chips' disjoint bin set); process 0 unites
     the shards with ``merge_manifest_shards`` after a barrier, so the final
@@ -87,8 +96,12 @@ def write_manifest_shard(out_dir: str, cfg_dict: dict, words, counts, bins,
         "checksum": table_checksum(words, counts),
         "bins": {int(b): int(c) for b, c in zip(uniq, idx)},
     }
+    if binary:
+        shard["binary"] = True
     if bin_hashes is not None:
         shard["bin_sha256"] = {int(b): h for b, h in bin_hashes.items()}
+    if extra_files:
+        shard["extra_files"] = extra_files
     path = os.path.join(out_dir, f"manifest.part{process_index}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -109,6 +122,7 @@ def merge_manifest_shards(out_dir: str, n_processes: int) -> str:
             shards.append(json.load(f))
     bins: dict = {}
     bin_hashes: dict = {}
+    extra_files: dict = {}
     for s in shards:
         overlap = set(bins) & set(s["bins"])
         if overlap:
@@ -118,6 +132,7 @@ def merge_manifest_shards(out_dir: str, n_processes: int) -> str:
             )
         bins.update(s["bins"])
         bin_hashes.update(s.get("bin_sha256", {}))
+        extra_files.update(s.get("extra_files", {}))
     h = hashlib.sha256()
     for s in shards:
         h.update(s["checksum"].encode())
@@ -129,8 +144,12 @@ def merge_manifest_shards(out_dir: str, n_processes: int) -> str:
         "shards": [s["checksum"] for s in shards],
         "bins": {int(b): int(c) for b, c in bins.items()},
     }
+    if any(s.get("binary") for s in shards):
+        manifest["binary"] = True
     if bin_hashes:
         manifest["bin_sha256"] = {int(b): hh for b, hh in bin_hashes.items()}
+    if extra_files:
+        manifest["extra_files"] = extra_files
     path = os.path.join(out_dir, MANIFEST)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -178,13 +197,17 @@ def verify_output(out_dir: str) -> dict:
     (sha256 over the file's bytes vs the hash recorded at write time —
     a corrupted count digit or k-mer character fails even at the same line
     count), and — for manifests without hashes — the line count; every
-    extra artifact (e.g. distances.json) likewise by sha256.  Returns
+    extra artifact (e.g. distances.json, or the counts.npz of a binary
+    manifest) likewise by sha256.  Binary (enableKryo) manifests carry no
+    text bins — their ``bins`` mapping is metadata and the npz artifacts
+    are verified through ``extra_files``.  Returns
     {ok, missing, mismatched, extra_missing, extra_mismatched}."""
     with open(os.path.join(out_dir, MANIFEST)) as f:
         manifest = json.load(f)
     hashes = manifest.get("bin_sha256", {})
     missing, mismatched = [], []
-    for b, n_rows in manifest["bins"].items():
+    bins_to_check = {} if manifest.get("binary") else manifest["bins"]
+    for b, n_rows in bins_to_check.items():
         p = os.path.join(out_dir, f"bin{b}")
         if not os.path.exists(p):
             missing.append(int(b))

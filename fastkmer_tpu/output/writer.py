@@ -40,19 +40,19 @@ def write_bin_files(
     missing lines (the per-bin success bookkeeping the reference only
     gestured at, SparkBinKmerCounter.scala:608-639).
 
-    With ``clean`` (the default), pre-existing ``bin*`` files are removed
-    first: re-running a job into the same output directory must not leave
-    stale bins behind (the manifest only checks bins the NEW run produced,
-    so stale files would silently corrupt the directory's k-mer set).
-    Partial rewrites (pipeline.repair_output) pass clean=False."""
+    With ``clean`` (the default), pre-existing ``bin*`` files AND binary
+    ``counts*.npz`` artifacts are removed first: re-running a job into the
+    same output directory must not leave stale outputs behind (the
+    manifest only checks artifacts the NEW run produced, so stale files
+    would silently corrupt the directory's k-mer set — including a stale
+    counts.npz from an earlier enableKryo run).  Partial rewrites
+    (pipeline.repair_output) pass clean=False."""
     import hashlib
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(out_dir, exist_ok=True)
     if clean:
-        for name in os.listdir(out_dir):
-            if name.startswith("bin") and name[3:].isdigit():
-                os.remove(os.path.join(out_dir, name))
+        _clean_stale_outputs(out_dir)
     if words.shape[0] == 0:
         return {}
     order = np.argsort(bins, kind="stable")
@@ -89,14 +89,31 @@ def write_bin_files(
     return {int(b): h for b, h in zip(blist, hashes)}
 
 
+def _is_stale_output(name: str) -> bool:
+    """Artifacts a fresh run must replace: text bins and binary npz
+    outputs (counts.npz and per-process counts.part<N>.npz shards)."""
+    return (
+        (name.startswith("bin") and name[3:].isdigit())
+        or name == "counts.npz"
+        or (name.startswith("counts.part") and name.endswith(".npz"))
+    )
+
+
+def _clean_stale_outputs(out_dir: str) -> None:
+    for name in os.listdir(out_dir):
+        if _is_stale_output(name):
+            os.remove(os.path.join(out_dir, name))
+
+
 def clean_output_dir(out_dir: str) -> None:
-    """Remove bin files and manifest shards from a shared output directory.
-    Multi-host runs call this ONCE (process 0, before a barrier) instead of
-    per-process ``clean=True`` writes, which would clobber the bins other
-    processes already wrote (VERDICT r2 missing #1)."""
+    """Remove bin files, binary outputs, and manifest shards from a shared
+    output directory.  Multi-host runs call this ONCE (process 0, before a
+    barrier) instead of per-process ``clean=True`` writes, which would
+    clobber the outputs other processes already wrote (VERDICT r2
+    missing #1)."""
     os.makedirs(out_dir, exist_ok=True)
     for name in os.listdir(out_dir):
-        if (name.startswith("bin") and name[3:].isdigit()) or (
+        if _is_stale_output(name) or (
             name.startswith("manifest.part") and name.endswith(".json")
         ):
             os.remove(os.path.join(out_dir, name))
@@ -117,12 +134,19 @@ def _format_lines(words: np.ndarray, counts: np.ndarray, k: int) -> bytes:
 
 
 def write_binary(out_dir: str, words: np.ndarray, counts: np.ndarray,
-                 bins: np.ndarray, k: int, name: str = "counts.npz") -> str:
+                 bins: np.ndarray, k: int, name: str = "counts.npz",
+                 clean: bool = True) -> str:
     """Binary output (enableKryo=1): the npz replacement for the
     reference's Kryo-serialized variant (SparkBinKmerCounter.scala:557-558).
     Multi-host mesh writers pass per-process ``name`` shards (disjoint bin
-    sets; the union is the full table)."""
+    sets; the union is the full table) with ``clean=False`` — process 0
+    pre-cleans the shared directory once (clean_output_dir).  ``clean``
+    (single-process default) removes stale bin files / npz artifacts from
+    a previous run into the same directory, exactly like
+    write_bin_files."""
     os.makedirs(out_dir, exist_ok=True)
+    if clean:
+        _clean_stale_outputs(out_dir)
     path = os.path.join(out_dir, name)
     np.savez_compressed(path, words=words, counts=counts, bins=bins, k=np.int32(k))
     return path

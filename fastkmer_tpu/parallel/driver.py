@@ -67,14 +67,17 @@ def _write_output(cfg: JobConfig, words, counts, bins, keep_table: bool = False)
     p = jax.process_count()
     if p == 1:
         hashes = None
+        extra = None
         if cfg.use_kryo_serializer:
-            writer.write_binary(cfg.output_dir, words, counts, bins, cfg.k)
+            path = writer.write_binary(cfg.output_dir, words, counts, bins, cfg.k)
+            extra = {"counts.npz": manifest_mod.file_sha256(path)}
         else:
             hashes = writer.write_bin_files(cfg.output_dir, words, counts, bins,
                                             cfg.k, eof_sentinel=not cfg.use_ht)
         manifest_mod.write_manifest(
             cfg.output_dir, base.dataclasses_dict(cfg), words, counts, bins,
-            bin_hashes=hashes,
+            bin_hashes=hashes, extra_files=extra,
+            binary=cfg.use_kryo_serializer,
         )
         if keep_table:
             manifest_mod.write_table_sidecar(cfg.output_dir, words, counts, bins)
@@ -85,16 +88,20 @@ def _write_output(cfg: JobConfig, words, counts, bins, keep_table: bool = False)
         writer.clean_output_dir(cfg.output_dir)
     multihost.barrier("fastkmer:clean_output")
     hashes = None
+    extra = None
     if cfg.use_kryo_serializer:
-        writer.write_binary(cfg.output_dir, words, counts, bins, cfg.k,
-                            name=f"counts.part{jax.process_index()}.npz")
+        shard_name = f"counts.part{jax.process_index()}.npz"
+        path = writer.write_binary(cfg.output_dir, words, counts, bins, cfg.k,
+                                   name=shard_name, clean=False)
+        extra = {shard_name: manifest_mod.file_sha256(path)}
     else:
         hashes = writer.write_bin_files(cfg.output_dir, words, counts, bins,
                                         cfg.k, eof_sentinel=not cfg.use_ht,
                                         clean=False)
     manifest_mod.write_manifest_shard(
         cfg.output_dir, base.dataclasses_dict(cfg), words, counts, bins,
-        jax.process_index(), bin_hashes=hashes,
+        jax.process_index(), bin_hashes=hashes, extra_files=extra,
+        binary=cfg.use_kryo_serializer,
     )
     multihost.barrier("fastkmer:write_output")
     if jax.process_index() == 0:
@@ -328,13 +335,14 @@ def _execute_job_distributed(
     n_reads = 0
     n_bases = 0
     xbytes = 0
-    collisions = []  # device scalars; checked ONCE at finalize (no per-batch sync)
+    collision_total = None  # device scalar; checked ONCE at finalize (no per-batch sync)
     # sync-free feed (unique_ub asserted): skip the per-batch dropped-count
-    # pull — the scalars are collected and verified once at finalize, like
-    # the streaming path's device counters.  No retry net exists then (the
+    # pull — the counters are accumulated ON DEVICE (one tiny jitted add
+    # per batch, compiled once — never an eager jnp op in the loop) and
+    # verified at checkpoint/finalize.  No retry net exists then (the
     # batch's device inputs are gone), so overflow raises instead.
     sync_free = unique_ub is not None
-    dropped_scalars: list = []
+    dropped_total = None
     # checkpoint/resume: each compacted batch part visits the host anyway,
     # so the parts themselves are the checkpoint unit (BatchCheckpointer
     # spill flow, persisted every `checkpoint_interval` batches).
@@ -381,11 +389,17 @@ def _execute_job_distributed(
             with timer.span("device_step"):
                 sc = step(sharded)
         if sync_free:
-            dropped_scalars.append(sc.dropped)
+            dropped_total = (
+                sc.dropped if dropped_total is None
+                else _scalar_add(dropped_total, sc.dropped)
+            )
         xbytes += exchange.exchange_bytes_per_step(
             n, cap, cfg.k, smax if smer_transport else None
         )
-        collisions.append(sc.collision)
+        collision_total = (
+            sc.collision if collision_total is None
+            else _scalar_add(collision_total, sc.collision)
+        )
         with timer.span("host_compact"):
             for c, part in exchange.compact_shard_counts(sc, with_chips=True):
                 per_chip_parts.setdefault(c, []).append(part)
@@ -395,21 +409,20 @@ def _execute_job_distributed(
         n_bases += nb
         if ckpt is not None and (i + 1) % ckpt.interval == 0:
             with timer.span("checkpoint"):
-                # a checkpoint claims its batches complete, so any pending
-                # sync-free drop scalars must be verified first (they have
+                # a checkpoint claims its batches complete, so the pending
+                # sync-free drop counter must be verified first (it has
                 # landed — the compaction above materialized the batch)
-                _check_dropped(dropped_scalars, cap)
-                dropped_scalars = []
+                _check_dropped(dropped_total, cap)
+                dropped_total = None
                 ckpt.save_spills(i + 1, new_parts, persisted)
                 persisted += len(new_parts)
                 new_parts = []
-    _check_dropped(dropped_scalars, cap)
-    if cfg.use_ht and collisions:
-        import jax.numpy as jnp
-
-        # one stacked pull for the whole run (scalar pulls cost a full
-        # round trip each through remote-device tunnels)
-        if int(np.asarray(jnp.stack(collisions)).max()):
+    _check_dropped(dropped_total, cap)
+    if cfg.use_ht and collision_total is not None:
+        # ONE scalar pull for the whole run (scalar pulls cost a full
+        # round trip each through remote-device tunnels); accumulated by
+        # the cached jitted add, so no per-run-length eager stack compile
+        if int(np.asarray(collision_total)):
             from ..ops.count_hash import FingerprintCollision
 
             raise FingerprintCollision(
@@ -461,15 +474,29 @@ def _split_part_by_owner(part, owner_map: np.ndarray, out: dict) -> None:
         out.setdefault(int(c), []).append((words[idx], counts[idx], bins[idx]))
 
 
-def _check_dropped(dropped_scalars: list, cap: int) -> None:
-    """Sync-free (unique_ub) per-batch path: one stacked pull of the run's
-    exchange-drop counters; any drop is fatal (asserted, never trusted —
-    the retry inputs are gone by the time a lazy drop is observed)."""
-    if not dropped_scalars:
-        return
-    import jax.numpy as jnp
+_SCALAR_ADD = None
 
-    total = int(np.asarray(jnp.stack(dropped_scalars)).sum())
+
+def _scalar_add(a, b):
+    """Device-side a + b through one cached jit (CLAUDE.md: never eager
+    jnp ops in loops — each would compile separately through the remote
+    hop)."""
+    global _SCALAR_ADD
+    if _SCALAR_ADD is None:
+        import jax
+
+        _SCALAR_ADD = jax.jit(lambda x, y: x + y)
+    return _SCALAR_ADD(a, b)
+
+
+def _check_dropped(dropped_total, cap: int) -> None:
+    """Sync-free (unique_ub) per-batch path: one scalar pull of the run's
+    accumulated exchange-drop counter; any drop is fatal (asserted, never
+    trusted — the retry inputs are gone by the time a lazy drop is
+    observed)."""
+    if dropped_total is None:
+        return
+    total = int(np.asarray(dropped_total))
     if total:
         raise RuntimeError(
             f"sync-free per-batch run dropped {total} exchange entries at "

@@ -662,12 +662,12 @@ def count_batches(
     ``prededup`` — per-batch count+compact before accumulation (pays on
     DUP-HEAVY inputs where the in-batch distinct ratio is low; the
     reference's (k,x) compression idea).  None (default) = adaptive, the
-    mesh controller's design (parallel.stream): probe batches (warm-up
-    0,1,2,4,8 until the first decision lands, then every 16th) run the
-    dedup attempt itself — a fit admits the compact part and its
-    prefetched distinct count steers the mode (engage under 0.24, TPU-
-    bracketed); an overflow at the npos/4 cap implies ratio > 0.25 and
-    the batch's retained raw columns are admitted instead.
+    mesh controller's design (parallel.stream): every 16th batch runs the
+    dedup attempt itself as the probe — a fit admits the compact part and
+    its prefetched distinct count steers the mode (engage under 0.24,
+    TPU-bracketed; the decision lands deterministically DEDUP_LAG batches
+    later); an overflow at the npos/4 cap implies ratio > 0.25 and the
+    batch's retained raw columns are admitted instead.
     True/False force the mode.
     """
     timer = timer or StageTimer()
@@ -718,20 +718,17 @@ def count_batches(
     # (beyond which the probe overflows and dedup cannot engage at all).
     # Was 0.20 (round-2 calibration at the old fanin-4 cadence).
     PROBE_EVERY, ENGAGE_BELOW = 16, 0.24
-    # short runs must engage within a couple of batches, not after the
-    # first 16-batch window (the mesh controller's idea, parallel.stream
-    # WARMUP_PROBES; measured round-4 gap ~30% on a 16-batch dup
-    # workload).  Static set: deterministic probe indices.  Probe 0's
-    # decision lands deterministically at batch DEDUP_LAG, so extra
-    # warm-up probes only buy dup-engagement DEDUP_LAG-1 batches earlier
-    # — and each costs ~43 ms of wasted dedup attempt on distinct-heavy
-    # input (TPU, headline shape).  Measured: {0} + LAG 3 keeps the
-    # distinct-heavy headline within ~2% of probe-free while a 16-batch
-    # dup run still lands within a few % of forced dedup (BASELINE.md
-    # round 5) — the mesh controller keeps its richer 0,1,2,4,8 set
+    # Short runs engage within a few batches WITHOUT a warm-up probe set:
+    # the batch-0 probe's decision lands deterministically at batch
+    # DEDUP_LAG (measured round-4 gap ~30% on a 16-batch dup workload was
+    # the old is_ready-timed engagement).  Richer warm-up sets were
+    # measured and REJECTED here: each extra probe costs ~43 ms of wasted
+    # dedup attempt on distinct-heavy input (TPU, headline shape) and
+    # {0,1,2} bought nothing on the dup workload over {0} (BASELINE.md
+    # round 5) — the mesh controller keeps its 0,1,2,4,8 warm-up set
     # because ITS probes ride the cheap dedup exchange.
-    WARMUP_PROBES = frozenset((0,))
-    # batches between a dedup dispatch and its deterministic admission:
+    # DEDUP_LAG = batches between a dedup dispatch and its deterministic
+    # admission:
     # deep enough that the prefetched scalars have landed (blocking read
     # is then free) and the dispatch pipeline stays full; still a FIXED
     # index lag, so admission order/timing is a pure function of the input
@@ -749,7 +746,6 @@ def count_batches(
             )
         prededup = False
     dedup_mode = prededup is True
-    warmup_active = True  # warm-up probes run until a decision lands
     # dedup parts are held OUT of the accumulator for DEDUP_LAG batches
     # and admitted at a DETERMINISTIC dispatch-index lag (the mesh
     # controller's lockstep-consumption idea, parallel.stream.PROBE_LAG):
@@ -766,34 +762,38 @@ def count_batches(
     # LAG * W * npos * 4 B of HBM (~0.5 GB at the production shape) —
     # the price of the free overflow fallback.
     dedup_pending: list = []  # (dispatch_idx, raw_cols, dcols, dwts, pos, n_u, over)
+    # merge windows are kept SINGLE-KIND (all raw [npos] or all dedup
+    # [dcap] parts): a part of the other kind closes the open window
+    # first.  The kind sequence is a pure function of the input (lagged
+    # admission), so window compositions — and thus the _MERGE_JIT
+    # variant set — are identical across reruns and stay tiny.  Tracking
+    # the kind at APPEND time (not at mode flips) matters: in-flight
+    # lagged parts of the old kind land after a flip, and probe parts
+    # land inside raw windows.
+    window_kind: list = [None]
+
+    def _feed_window(kind: str, add) -> None:
+        if acc.pending and window_kind[0] != kind:
+            acc._merge_pending()
+        window_kind[0] = kind
+        add()
 
     def _admit_dedup(entry) -> None:
-        nonlocal dedup_mode, warmup_active
+        nonlocal dedup_mode
         _, raw_q, qcols, qwts, qpos, q_nu, q_over = entry
         if int(np.asarray(q_over)):
             # the input turned distinct-heavy: this batch's compaction
-            # dropped uniques — close the (dedup-shaped) merge window and
-            # admit the batch's ALREADY-EXTRACTED raw columns (lossless,
-            # no second extraction pass); in adaptive mode disengage.
-            # Homogeneous windows keep the merge-jit variant set bounded:
-            # a mixed-composition window is a fresh trace + a remote-hop
-            # compile.
-            acc._merge_pending()
-            acc.add_raw(raw_q)
+            # dropped uniques — admit the batch's ALREADY-EXTRACTED raw
+            # columns (lossless, no second extraction pass); in adaptive
+            # mode disengage
+            _feed_window("raw", lambda: acc.add_raw(raw_q))
             if prededup is None:
                 dedup_mode = False
-            warmup_active = False
             return
-        acc.add_part(qcols, qwts)
+        _feed_window("dedup", lambda: acc.add_part(qcols, qwts))
         if prededup is None:
             ratio = int(np.asarray(q_nu)) / max(qpos, 1)
-            new_mode = ratio < ENGAGE_BELOW
-            if new_mode != dedup_mode:
-                # close the window at a mode flip so raw and dedup parts
-                # never mix in one merge (bounded jit variant set)
-                acc._merge_pending()
-            dedup_mode = new_mode
-        warmup_active = False
+            dedup_mode = ratio < ENGAGE_BELOW
 
     skip = 0
     persisted_spills = 0
@@ -832,15 +832,12 @@ def count_batches(
         # Compared to the old full-count probe this (a) costs dedup-price
         # on dup-heavy input instead of a 2x count, and (b) keeps every
         # part one of TWO shapes (raw [npos] / dedup [dcap]) in
-        # homogeneous merge windows (flush at flips)
+        # single-kind merge windows (_feed_window)
         probe = (
             acc is not None
             and prededup is None
             and not dedup_mode
-            and (
-                batch_idx % PROBE_EVERY == 0
-                or (warmup_active and batch_idx in WARMUP_PROBES)
-            )
+            and batch_idx % PROBE_EVERY == 0
         )
         with timer.span("device_count"):
             if engine == "hash":
@@ -878,7 +875,7 @@ def count_batches(
                         (batch_idx, d_raw, dcols, dwts, npos, d_nu, d_over)
                     )
                 else:
-                    acc.add_raw(cols)
+                    _feed_window("raw", lambda: acc.add_raw(cols))
             if (
                 checkpointer is not None
                 and (batch_idx + 1) % checkpointer.interval == 0
@@ -987,8 +984,14 @@ def execute_job(
     if cfg.write:
         with timer.span("write_output"):
             bin_hashes = None
+            extra = None
             if cfg.use_kryo_serializer:
-                writer.write_binary(cfg.output_dir, res.words, res.counts, res.bins, cfg.k)
+                path = writer.write_binary(
+                    cfg.output_dir, res.words, res.counts, res.bins, cfg.k
+                )
+                # the npz is the data file: hash it so verify_output
+                # detects bit rot exactly like the per-bin text hashes
+                extra = {"counts.npz": manifest_mod.file_sha256(path)}
             else:
                 bin_hashes = writer.write_bin_files(
                     cfg.output_dir, res.words, res.counts, res.bins, cfg.k,
@@ -996,7 +999,8 @@ def execute_job(
                 )
             manifest_mod.write_manifest(
                 cfg.output_dir, dataclasses_dict(cfg), res.words, res.counts,
-                res.bins, bin_hashes=bin_hashes,
+                res.bins, bin_hashes=bin_hashes, extra_files=extra,
+                binary=cfg.use_kryo_serializer,
             )
             if keep_table:
                 manifest_mod.write_table_sidecar(
@@ -1024,11 +1028,37 @@ def repair_output(cfg: JobConfig, verbose: bool = True) -> dict:
     with ZERO recounting; otherwise the dataset is fully recounted —
     counting is pure, so this is exact but touches every batch.
     """
+    import json as _json
+    import os as _os
+
     from .output import manifest as manifest_mod
 
     status = manifest_mod.verify_output(cfg.output_dir)
     if status["ok"]:
         return status
+    with open(_os.path.join(cfg.output_dir, manifest_mod.MANIFEST)) as f:
+        man = _json.load(f)
+    if man.get("binary"):
+        # binary (enableKryo) output: the data file is counts.npz —
+        # regenerate it whole (sidecar first, recount otherwise) and
+        # rewrite the manifest so the recorded hash matches
+        if verbose:
+            print("repairing binary output (counts.npz)")
+        table = manifest_mod.load_table_sidecar(cfg.output_dir)
+        if table is None:
+            res = execute_job(dataclasses_replace(cfg, write=False), verbose=False)
+            table = (res.words, res.counts, res.bins)
+        words, counts, bins = table
+        path = writer.write_binary(
+            cfg.output_dir, words, counts, bins, cfg.k, clean=False
+        )
+        extra = dict(man.get("extra_files", {}))
+        extra["counts.npz"] = manifest_mod.file_sha256(path)
+        manifest_mod.write_manifest(
+            cfg.output_dir, man["config"], words, counts, bins,
+            extra_files=extra, binary=True,
+        )
+        return manifest_mod.verify_output(cfg.output_dir)
     bad = set(status["missing"]) | set(status["mismatched"])
     if verbose:
         print(f"repairing {len(bad)} bins: {sorted(bad)}")

@@ -90,6 +90,11 @@ def test_enable_kryo_effect(matrix_data, path):
     assert not [f for f in os.listdir(out) if f.startswith("bin")], path
     z = np.load(os.path.join(out, "counts.npz"))
     assert int(z["k"]) == 25 and z["words"].shape[0] > 0
+    # the binary manifest must verify (npz hashed via extra_files, no
+    # phantom text-bin checks) — incl. the mesh's merged shard manifests
+    from fastkmer_tpu.output import manifest as mf
+
+    assert mf.verify_output(out)["ok"], path
 
 
 @pytest.mark.parametrize("path", list(PATHS))

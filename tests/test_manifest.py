@@ -212,6 +212,65 @@ def test_checkpoint_resume_perbatch_mesh(tmp_path, monkeypatch):
         assert ckpt.completed_batches() == 0  # cleared after completion
 
 
+def test_kryo_output_verify_and_repair(tmp_path):
+    """Binary (enableKryo) outputs are first-class recovery citizens: the
+    manifest marks them binary, verify_output hashes counts.npz instead
+    of expecting text bins, bit rot is detected, and repair_output
+    regenerates the npz from the table sidecar (code-review r5 #2)."""
+    from fastkmer_tpu import pipeline
+
+    fa, reads = _mk_dataset(tmp_path, n=20, seed=31)
+    cfg = JobConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", prefix="kr_",
+        k=20, m=8, max_b=32, reads_per_batch=8, read_len=256,
+        use_kryo_serializer=True,
+    )
+    pipeline.execute_job(cfg, verbose=False, keep_table=True)
+    assert mf.verify_output(cfg.output_dir)["ok"]
+
+    # flip one byte inside the npz -> verify must fail on the artifact
+    path = os.path.join(cfg.output_dir, "counts.npz")
+    data = bytearray(open(path, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    v = mf.verify_output(cfg.output_dir)
+    assert not v["ok"] and "counts.npz" in v["extra_mismatched"]
+
+    status = pipeline.repair_output(cfg, verbose=False)
+    assert status["ok"], status
+    z = np.load(path)
+    assert z["words"].shape[0] > 0 and int(z["counts"].sum()) > 0
+
+
+def test_rerun_cleans_stale_binary_and_text_outputs(tmp_path):
+    """Re-running a job into the same directory must not leave the OTHER
+    format's stale artifacts behind (code-review r5 #1): a kryo run after
+    a text run removes the bins; a text run after a kryo run removes
+    counts.npz."""
+    from fastkmer_tpu import pipeline
+
+    fa, reads = _mk_dataset(tmp_path, n=15, seed=33)
+    base = dict(
+        dataset=fa, output_directory=str(tmp_path) + "/", prefix="sw_",
+        k=20, m=8, max_b=32, reads_per_batch=8, read_len=256,
+    )
+    text_cfg = JobConfig(**base)
+    kryo_cfg = JobConfig(**base, use_kryo_serializer=True)
+
+    pipeline.execute_job(text_cfg, verbose=False)
+    out = text_cfg.output_dir
+    assert [f for f in os.listdir(out) if f.startswith("bin")]
+
+    pipeline.execute_job(kryo_cfg, verbose=False)
+    assert not [f for f in os.listdir(out) if f.startswith("bin") and f[3:].isdigit()]
+    assert os.path.exists(os.path.join(out, "counts.npz"))
+    assert mf.verify_output(out)["ok"]
+
+    pipeline.execute_job(text_cfg, verbose=False)
+    assert not os.path.exists(os.path.join(out, "counts.npz"))
+    assert mf.verify_output(out)["ok"]
+
+
 def test_checkpoint_rollback(tmp_path):
     """rollback_to discards spills past an earlier logged cursor — the
     multi-host resume re-alignment primitive (processes can crash between

@@ -308,6 +308,9 @@ def test_three_process_streaming_matches_oracle(tmp_path):
             kunion[s] = int(c)
     assert kunion == expect
     assert not [f for f in os.listdir(kdir) if f.startswith("bin")]
+    # merged binary manifest: every process's npz shard hash verified
+    kstatus = manifest_mod.verify_output(kdir)
+    assert kstatus["ok"], kstatus
     for i in range(3):
         assert not os.listdir(str(tmp_path / f"ckpb{i}"))  # cleared
 

@@ -527,23 +527,22 @@ def _write_multiseq_output(cfg, words, counts, bins, pair_dist, measure,
     from ..output import manifest as manifest_mod
 
     uw, uc, ub = _sum_over_sequences(words, counts, bins)
-    hashes = None
-    extra = {}
-    if cfg.use_kryo_serializer:
-        path = writer.write_binary(cfg.output_dir, uw, uc, ub, cfg.k)
-        extra["counts.npz"] = manifest_mod.file_sha256(path)
-    else:
-        hashes = writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
     dpath = _write_distances(cfg.output_dir, pair_dist, measure)
-    extra["distances.json"] = manifest_mod.file_sha256(dpath)
+    dist_extra = {"distances.json": manifest_mod.file_sha256(dpath)}
     cfg_dict = {
         key: v for key, v in dataclasses.asdict(cfg).items() if not callable(v)
     }
-    manifest_mod.write_manifest(
-        cfg.output_dir, cfg_dict, uw, uc, ub,
-        extra_files=extra, bin_hashes=hashes,
-        binary=cfg.use_kryo_serializer,
-    )
+    if cfg.use_kryo_serializer:
+        writer.write_binary_with_manifest(
+            cfg.output_dir, cfg_dict, uw, uc, ub, cfg.k,
+            extra_files=dist_extra,
+        )
+    else:
+        hashes = writer.write_bin_files(cfg.output_dir, uw, uc, ub, cfg.k)
+        manifest_mod.write_manifest(
+            cfg.output_dir, cfg_dict, uw, uc, ub,
+            extra_files=dist_extra, bin_hashes=hashes,
+        )
     if keep_table:
         # the summed table is what the bin files render, so the sidecar's
         # checksum matches the manifest and repair_output can rewrite

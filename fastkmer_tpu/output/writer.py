@@ -152,6 +152,25 @@ def write_binary(out_dir: str, words: np.ndarray, counts: np.ndarray,
     return path
 
 
+def write_binary_with_manifest(out_dir: str, cfg_dict: dict, words, counts,
+                               bins, k: int, extra_files: dict | None = None) -> str:
+    """Single-process binary output in ONE place: counts.npz + a
+    binary-flagged manifest whose extra_files carry the npz hash (plus
+    any caller extras, e.g. multiseq's distances.json) — the one
+    definition shared by execute_job, the mesh p==1 writer, and the
+    multiseq writer, so the binary-manifest contract cannot diverge."""
+    from . import manifest as manifest_mod
+
+    path = write_binary(out_dir, words, counts, bins, k)
+    files = dict(extra_files or {})
+    files["counts.npz"] = manifest_mod.file_sha256(path)
+    manifest_mod.write_manifest(
+        out_dir, cfg_dict, words, counts, bins,
+        extra_files=files, binary=True,
+    )
+    return path
+
+
 def read_bin_file(path: str) -> dict[str, int]:
     """Parse a bin file back into {kmer: count} (test/diff helper)."""
     out: dict[str, int] = {}

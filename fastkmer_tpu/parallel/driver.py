@@ -66,19 +66,18 @@ def _write_output(cfg: JobConfig, words, counts, bins, keep_table: bool = False)
 
     p = jax.process_count()
     if p == 1:
-        hashes = None
-        extra = None
         if cfg.use_kryo_serializer:
-            path = writer.write_binary(cfg.output_dir, words, counts, bins, cfg.k)
-            extra = {"counts.npz": manifest_mod.file_sha256(path)}
+            writer.write_binary_with_manifest(
+                cfg.output_dir, base.dataclasses_dict(cfg), words, counts,
+                bins, cfg.k,
+            )
         else:
             hashes = writer.write_bin_files(cfg.output_dir, words, counts, bins,
                                             cfg.k, eof_sentinel=not cfg.use_ht)
-        manifest_mod.write_manifest(
-            cfg.output_dir, base.dataclasses_dict(cfg), words, counts, bins,
-            bin_hashes=hashes, extra_files=extra,
-            binary=cfg.use_kryo_serializer,
-        )
+            manifest_mod.write_manifest(
+                cfg.output_dir, base.dataclasses_dict(cfg), words, counts,
+                bins, bin_hashes=hashes,
+            )
         if keep_table:
             manifest_mod.write_table_sidecar(cfg.output_dir, words, counts, bins)
         return
@@ -396,10 +395,11 @@ def _execute_job_distributed(
         xbytes += exchange.exchange_bytes_per_step(
             n, cap, cfg.k, smax if smer_transport else None
         )
-        collision_total = (
-            sc.collision if collision_total is None
-            else _scalar_add(collision_total, sc.collision)
-        )
+        if cfg.use_ht:  # sort-engine steps carry a constant psum(0) — skip
+            collision_total = (
+                sc.collision if collision_total is None
+                else _scalar_add(collision_total, sc.collision)
+            )
         with timer.span("host_compact"):
             for c, part in exchange.compact_shard_counts(sc, with_chips=True):
                 per_chip_parts.setdefault(c, []).append(part)

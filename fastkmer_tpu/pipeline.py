@@ -983,25 +983,22 @@ def execute_job(
         )
     if cfg.write:
         with timer.span("write_output"):
-            bin_hashes = None
-            extra = None
             if cfg.use_kryo_serializer:
-                path = writer.write_binary(
-                    cfg.output_dir, res.words, res.counts, res.bins, cfg.k
+                # npz + binary-flagged manifest with the npz hash, so
+                # verify_output detects bit rot like the per-bin hashes
+                writer.write_binary_with_manifest(
+                    cfg.output_dir, dataclasses_dict(cfg), res.words,
+                    res.counts, res.bins, cfg.k,
                 )
-                # the npz is the data file: hash it so verify_output
-                # detects bit rot exactly like the per-bin text hashes
-                extra = {"counts.npz": manifest_mod.file_sha256(path)}
             else:
                 bin_hashes = writer.write_bin_files(
                     cfg.output_dir, res.words, res.counts, res.bins, cfg.k,
                     eof_sentinel=not cfg.use_ht,
                 )
-            manifest_mod.write_manifest(
-                cfg.output_dir, dataclasses_dict(cfg), res.words, res.counts,
-                res.bins, bin_hashes=bin_hashes, extra_files=extra,
-                binary=cfg.use_kryo_serializer,
-            )
+                manifest_mod.write_manifest(
+                    cfg.output_dir, dataclasses_dict(cfg), res.words,
+                    res.counts, res.bins, bin_hashes=bin_hashes,
+                )
             if keep_table:
                 manifest_mod.write_table_sidecar(
                     cfg.output_dir, res.words, res.counts, res.bins
@@ -1028,20 +1025,35 @@ def repair_output(cfg: JobConfig, verbose: bool = True) -> dict:
     with ZERO recounting; otherwise the dataset is fully recounted —
     counting is pure, so this is exact but touches every batch.
     """
-    import json as _json
-    import os as _os
+    import json
 
     from .output import manifest as manifest_mod
 
     status = manifest_mod.verify_output(cfg.output_dir)
     if status["ok"]:
         return status
-    with open(_os.path.join(cfg.output_dir, manifest_mod.MANIFEST)) as f:
-        man = _json.load(f)
+    with open(os.path.join(cfg.output_dir, manifest_mod.MANIFEST)) as f:
+        man = json.load(f)
     if man.get("binary"):
-        # binary (enableKryo) output: the data file is counts.npz —
-        # regenerate it whole (sidecar first, recount otherwise) and
-        # rewrite the manifest so the recorded hash matches
+        extras = man.get("extra_files", {})
+        if "shards" in man or any(n.startswith("counts.part") for n in extras):
+            # multi-host sharded binary output: each process owns its
+            # counts.part<N>.npz and no single process holds the full
+            # table — re-run the shard's owner instead of a lossy
+            # single-process "repair" that would orphan the shards
+            raise NotImplementedError(
+                "sharded binary outputs (counts.part<N>.npz) are repaired "
+                "by re-running their owning processes; single-process "
+                "repair_output covers counts.npz only"
+            )
+        bad_extras = set(status["extra_missing"]) | set(status["extra_mismatched"])
+        if "counts.npz" not in bad_extras:
+            # the only rebuildable artifact here is the count table; a
+            # damaged sibling (e.g. multiseq distances.json) needs its
+            # own job re-run — report rather than recount for nothing
+            return status
+        # regenerate counts.npz whole (sidecar first, recount otherwise)
+        # through the shared binary writer, preserving sibling hashes
         if verbose:
             print("repairing binary output (counts.npz)")
         table = manifest_mod.load_table_sidecar(cfg.output_dir)
@@ -1049,14 +1061,10 @@ def repair_output(cfg: JobConfig, verbose: bool = True) -> dict:
             res = execute_job(dataclasses_replace(cfg, write=False), verbose=False)
             table = (res.words, res.counts, res.bins)
         words, counts, bins = table
-        path = writer.write_binary(
-            cfg.output_dir, words, counts, bins, cfg.k, clean=False
-        )
-        extra = dict(man.get("extra_files", {}))
-        extra["counts.npz"] = manifest_mod.file_sha256(path)
-        manifest_mod.write_manifest(
-            cfg.output_dir, man["config"], words, counts, bins,
-            extra_files=extra, binary=True,
+        siblings = {n: h for n, h in extras.items() if n != "counts.npz"}
+        writer.write_binary_with_manifest(
+            cfg.output_dir, man["config"], words, counts, bins, cfg.k,
+            extra_files=siblings,
         )
         return manifest_mod.verify_output(cfg.output_dir)
     bad = set(status["missing"]) | set(status["mismatched"])

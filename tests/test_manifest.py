@@ -242,6 +242,50 @@ def test_kryo_output_verify_and_repair(tmp_path):
     assert z["words"].shape[0] > 0 and int(z["counts"].sum()) > 0
 
 
+def test_binary_repair_guards(tmp_path):
+    """repair_output on binary outputs: sharded (multi-host) npz outputs
+    error explicitly instead of half-repairing, and a damaged sibling
+    artifact alone (counts.npz intact) reports without a futile recount
+    (code-review r5 follow-up #1)."""
+    import pytest
+
+    from fastkmer_tpu import pipeline
+    from fastkmer_tpu.multiseq.pipeline import MultiseqConfig, execute_multiseq_job
+
+    # --- sharded binary manifest -> explicit NotImplementedError
+    cfg = JobConfig(dataset="unused.fa", output_directory=str(tmp_path) + "/",
+                    prefix="sh_", k=20, m=8, max_b=32)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    with open(os.path.join(cfg.output_dir, "manifest.json"), "w") as f:
+        json.dump({
+            "config": {}, "n_unique": 1, "n_instances": 1, "checksum": "x",
+            "binary": True, "shards": ["a", "b"], "bins": {},
+            "extra_files": {"counts.part0.npz": "00", "counts.part1.npz": "11"},
+        }, f)
+    with pytest.raises(NotImplementedError, match="shard"):
+        pipeline.repair_output(cfg, verbose=False)
+
+    # --- multiseq kryo dir with ONLY distances.json damaged: no recount,
+    # counts.npz untouched, status reported
+    fa = str(tmp_path / "ms.fa")
+    with open(fa, "w") as f:
+        f.write(">a.1\nACGTACGTACGTACGTACGTACGT\n>b.1\nTTGTACGTACGAACTTACGTACGT\n")
+    mcfg = MultiseqConfig(
+        dataset=fa, output_directory=str(tmp_path) + "/", prefix="msk_",
+        k=8, m=4, max_b=16, reads_per_batch=2, read_len=32,
+        use_kryo_serializer=True,
+    )
+    execute_multiseq_job(mcfg, verbose=False, device_accumulate=False)
+    assert mf.verify_output(mcfg.output_dir)["ok"]
+    dpath = os.path.join(mcfg.output_dir, "distances.json")
+    open(dpath, "a").write(" ")
+    npz = os.path.join(mcfg.output_dir, "counts.npz")
+    before = open(npz, "rb").read()
+    status = pipeline.repair_output(mcfg, verbose=False)
+    assert not status["ok"] and "distances.json" in status["extra_mismatched"]
+    assert open(npz, "rb").read() == before  # untouched, no recount
+
+
 def test_rerun_cleans_stale_binary_and_text_outputs(tmp_path):
     """Re-running a job into the same directory must not leave the OTHER
     format's stale artifacts behind (code-review r5 #1): a kryo run after

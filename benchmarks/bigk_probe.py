@@ -34,7 +34,7 @@ def main():
         return np.asarray(fence_i32(x))
 
     f(codes[0].astype(jnp.uint32))
-    for k, m in ((28, 10), (75, 12), (97, 13)):
+    for k, m in ((28, 10), (75, 12), (97, 13), (155, 10), (201, 14)):
         B = 512
 
         @jax.jit

@@ -32,9 +32,14 @@ _U = jnp.uint32
 
 
 def supported(k: int) -> bool:
-    # W <= 8 (k <= 128): word construction is W-generic (rolls of the
-    # 16-base pack chain); the bound is VMEM block budget, managed by
-    # shrinking block_rows with W (_rows_for)
+    # AUTO-SELECTION gate: the range where the fused kernel WINS.  Word
+    # construction is W-generic and the kernel is verified bit-exact on
+    # hardware to W = 16 (k=155/201/249, round 5), but it only PAYS up to
+    # W <= 8: measured at [1024, 4096] on the attached TPU, k=97 (W=7)
+    # wins 13%, k=155 (W=10) ties 0.96x, k=201 (W=13) ties 0.99x at
+    # TR=16 — at big W the jnp graph is compute-dominated and XLA's
+    # fusion already matches one HBM pass, so auto stays jnp past 128
+    # (extract_pallas itself accepts any k <= 256 when called directly).
     return k <= 128
 
 
@@ -53,7 +58,8 @@ def available(k: int) -> bool:
 
 def _rows_for(k: int, block_rows: int) -> int:
     """Shrink the row block as W grows: VMEM holds ~(input + chains + W
-    outputs) [TR, L] i32 buffers, so halve TR past W=4."""
+    outputs) [TR, L] i32 buffers, so halve TR past W=4 (TR=16 measured
+    as good as TR=8 even at W=13 — no further shrink needed)."""
     return max(8, block_rows // 2) if num_words(k) > 4 else block_rows
 
 
@@ -215,7 +221,7 @@ def extract_pallas(
     ``vma``: when called inside a shard_map body, the set of mesh axis
     names the inputs vary over (shard_map's check_vma requires pallas
     out_shapes to declare it)."""
-    assert supported(k)
+    assert k <= 256  # bit-exact to W=16 on hardware; auto gate is supported()
     R, L = codes.shape
     assert L >= k
     TR = min(_rows_for(k, block_rows), R)
@@ -258,7 +264,7 @@ def extract_pallas_sentinel(
 ):
     """Count-mode kernel: returns pre-sentineled word columns, each [R*P],
     ready to be sort keys (invalid windows = all-ones).  k % 16 != 0."""
-    assert supported(k) and k % 16 != 0
+    assert k <= 256 and k % 16 != 0
     R, L = codes.shape
     TR = min(_rows_for(k, block_rows), R)
     kernel = _mk_kernel(k, m, B, L, mode="count")

@@ -149,6 +149,58 @@ def test_adaptive_warmup_engages_short_runs(mesh8):
     assert _table(ctr) == dict(oracles.count_reads(all_reads, k))
 
 
+def test_mesh_adaptive_controller_is_deterministic(mesh8):
+    """Two identical adaptive mesh runs must make identical mode/cap_d
+    decisions and merge-window compositions: probe scalars are consumed
+    at dispatch + PROBE_LAG (blocking, normally landed), never on
+    scalar-landing timing — nondeterministic compositions would retrace
+    the exchange/merge jits per run (the single-chip round-5 lesson)."""
+    from fastkmer_tpu.parallel import partitioner, stream
+
+    k, m, B = 28, 10, 64
+    owner = partitioner.hash_owner_map(B, 8)
+
+    def run_once():
+        rng = np.random.default_rng(83)
+        genome = "".join(rng.choice(list("ACGT"), size=160))
+        ctr = stream.DistributedCounter(
+            mesh8, k, m, B, cap=2048, acc_cap=1 << 14, owner_map=owner,
+            fanin=3, prededup=None,
+        )
+        trace = []
+        orig_merge = ctr._merge_pending
+
+        def spy_merge():
+            if ctr.pending:
+                trace.append(
+                    ("merge", tuple(
+                        (int(p.cols[0].shape[-1]), p.wts is not None)
+                        for p in ctr.pending
+                    ))
+                )
+            return orig_merge()
+
+        ctr._merge_pending = spy_merge
+        for i in range(10):
+            # dup phase then distinct phase: mode must flip both ways
+            if i < 5:
+                reads = [genome[int(rng.integers(0, 60)):][:100] for _ in range(64)]
+            else:
+                reads = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(64)]
+            ctr.feed(to_batch(reads, 100), n_reads=len(reads))
+            trace.append(("mode", ctr._dedup_mode, ctr.cap_d))
+        words, counts, _ = ctr.finalize()
+        return trace, ctr.n_dedup_batches, int(counts.sum())
+
+    t1, n1, s1 = run_once()
+    t2, n2, s2 = run_once()
+    assert t1 == t2
+    assert n1 == n2 and s1 == s2
+    modes = [x for x in t1 if x[0] == "mode"]
+    assert any(x[1] for x in modes), "never engaged"
+    assert not modes[-1][1], "never disengaged on the distinct phase"
+
+
 def test_adaptive_dedup_disengages_on_distinct_input(mesh8):
     """A distinct-heavy stream must keep (or return to) raw transport:
     ratio above the threshold disengages after the probe lands.  Reads are
